@@ -1,0 +1,217 @@
+"""The NGP radiance-field model, functional TPU form.
+
+Re-implements the reference `NGP` module (models/networks.py:13-420) as a
+pure-function model over an explicit parameter pytree:
+
+  params = {
+    "density_table": (rows, F)   hash grid, networks.py:40-52
+    "xyz_net":       MLP L*F -> 128 -> 1 (Softplus hidden), networks.py:54-58
+    "rgb_table":     (rows, F)   hash grid, networks.py:67-76
+    "rgb_net":       MLP (16+L*F[+embed_a]) -> 128 -> 3, networks.py:89-100
+    "norm_net":      MLP L*F -> 32 -> 3, networks.py:102-111
+    "sem_net":       MLP L*F -> 32 -> classes, networks.py:114-123
+    ["skybox_net"]   MLP 9 -> 32 -> 3, networks.py:137-148
+    ["tonemapper_r/g/b"] MLP 1 -> 64 -> 1 Sigmoid, networks.py:150-163
+  }
+
+Direction encoding is closed-form SH (degree 4; skybox degree 3); the
+density gradient for raw normals is exact reverse-mode AD through the
+hash encoder (grad-of-grad works, replacing the create_graph double
+backward of networks.py:186-196).
+
+All *_act strings are lowercase ("sigmoid" / "none"); the reference's
+'Sigmoid'/'None' map 1:1.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.hashgrid import (
+    HashGridConfig, hashgrid_init, hashgrid_encode, per_level_scale_for,
+)
+from ..ops.sh import sh_encode
+from ..ops.activations import trunc_exp
+from ..core.cascade import n_cascades
+from .mlp import mlp_init, mlp_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class NGPConfig:
+    """Static model hyperparameters (networks.py:14, 36, 63)."""
+    scale: float = 0.5
+    rgb_act: str = "sigmoid"       # "sigmoid" | "none" (HDR tonemapping)
+    use_skybox: bool = False
+    embed_a: bool = False
+    embed_a_len: int = 12
+    classes: int = 7
+    grid_size: int = 128
+    density_L: int = 16
+    density_F: int = 8
+    density_log2T: int = 19
+    rgb_L: int = 16
+    rgb_F: int = 8
+    rgb_log2T: int = 21
+    base_res: int = 16
+    sh_degree: int = 4
+    skybox_sh_degree: int = 3
+    compute_dtype: str = "float32"  # MLP matmul dtype ("bfloat16" on TPU)
+
+    @property
+    def cascades(self) -> int:
+        return n_cascades(self.scale)
+
+    @property
+    def density_grid_cfg(self) -> HashGridConfig:
+        return HashGridConfig(
+            n_levels=self.density_L, n_features=self.density_F,
+            log2_hashmap_size=self.density_log2T,
+            base_resolution=self.base_res,
+            per_level_scale=per_level_scale_for(
+                self.scale, self.density_L, self.base_res))
+
+    @property
+    def rgb_grid_cfg(self) -> HashGridConfig:
+        return HashGridConfig(
+            n_levels=self.rgb_L, n_features=self.rgb_F,
+            log2_hashmap_size=self.rgb_log2T,
+            base_resolution=self.base_res,
+            per_level_scale=per_level_scale_for(
+                self.scale, self.rgb_L, self.base_res))
+
+    @property
+    def rgb_in_dim(self) -> int:
+        d = self.sh_degree ** 2 + self.rgb_L * self.rgb_F
+        return d + (self.embed_a_len if self.embed_a else 0)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+def ngp_init(key, cfg: NGPConfig):
+    keys = jax.random.split(key, 10)
+    params = {
+        "density_table": hashgrid_init(keys[0], cfg.density_grid_cfg),
+        "xyz_net": mlp_init(keys[1],
+                            (cfg.density_grid_cfg.out_dim, 128, 1)),
+        "rgb_table": hashgrid_init(keys[2], cfg.rgb_grid_cfg),
+        "rgb_net": mlp_init(keys[3], (cfg.rgb_in_dim, 128, 3)),
+        "norm_net": mlp_init(keys[4], (cfg.rgb_grid_cfg.out_dim, 32, 3)),
+        "sem_net": mlp_init(keys[5],
+                            (cfg.rgb_grid_cfg.out_dim, 32, cfg.classes)),
+    }
+    if cfg.use_skybox:
+        params["skybox_net"] = mlp_init(
+            keys[6], (cfg.skybox_sh_degree ** 2, 32, 3))
+    if cfg.rgb_act == "none":
+        for i, ch in enumerate("rgb"):
+            params[f"tonemapper_{ch}"] = mlp_init(keys[7 + i], (1, 64, 1))
+    return params
+
+
+def _normalize_coords(cfg: NGPConfig, x):
+    """[-scale, scale]^3 -> [0, 1]^3 (networks.py:174)."""
+    return (x + cfg.scale) / (2.0 * cfg.scale)
+
+
+def ngp_sigma(cfg: NGPConfig, params, x):
+    """Density only: hash-enc -> 128 Softplus MLP -> Softplus sigma
+    (networks.py:165-184). x: (N, 3) world coords. Returns (N,)."""
+    u = _normalize_coords(cfg, x)
+    h = hashgrid_encode(cfg.density_grid_cfg, params["density_table"], u)
+    raw = mlp_apply(params["xyz_net"], h, "softplus", "none",
+                    cfg.dtype)[:, 0]
+    return jax.nn.softplus(raw)
+
+
+def ngp_rgb_feat(cfg: NGPConfig, params, x):
+    """RGB hash-grid features at world coords (networks.py:182)."""
+    u = _normalize_coords(cfg, x)
+    return hashgrid_encode(cfg.rgb_grid_cfg, params["rgb_table"], u)
+
+
+def ngp_density(cfg: NGPConfig, params, x, return_feat=False):
+    sigmas = ngp_sigma(cfg, params, x)
+    if return_feat:
+        return sigmas, ngp_rgb_feat(cfg, params, x)
+    return sigmas
+
+
+def ngp_grad(cfg: NGPConfig, params, x):
+    """(sigmas, feat_rgb, d sigma/dx) — networks.py:186-196. The returned
+    grads stay differentiable w.r.t. params (create_graph equivalent)."""
+    sigmas, vjp_fn = jax.vjp(lambda xx: ngp_sigma(cfg, params, xx), x)
+    grads = vjp_fn(jnp.ones_like(sigmas))[0]
+    feat_rgb = ngp_rgb_feat(cfg, params, x)
+    return sigmas, feat_rgb, grads
+
+
+def _safe_normalize(v, eps=1e-6):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+def log_radiance_to_rgb(cfg: NGPConfig, params, log_radiances,
+                        exposure=None):
+    """HDR-NeRF tonemapping: per-channel 64-unit MLPs on
+    log-radiance + log-exposure (networks_noCUDA.py:238-259)."""
+    log_exp = jnp.log(exposure) if exposure is not None else 0.0
+    outs = []
+    for i, ch in enumerate("rgb"):
+        inp = log_radiances[:, i:i + 1] + log_exp
+        outs.append(mlp_apply(params[f"tonemapper_{ch}"], inp,
+                              "relu", "sigmoid", cfg.dtype))
+    return jnp.concatenate(outs, axis=1)
+
+
+def ngp_forward(cfg: NGPConfig, params, x, d, embedding_a=None,
+                exposure=None, output_radiance=False,
+                stop_header_grads=False):
+    """Full per-sample forward (networks.py:198-282).
+
+    Args:
+      x, d: (N, 3) positions / (unnormalized) view directions.
+      embedding_a: (N, embed_a_len) per-sample appearance codes.
+      stop_header_grads: True reproduces forward_test (networks.py:256-261)
+        where the normal/semantic headers run under no_grad.
+
+    Returns (sigmas, rgbs, normals_raw, normals_pred, semantic).
+    """
+    sigmas, feat_rgb, grads = ngp_grad(cfg, params, x)
+    normals_raw = -_safe_normalize(grads)
+
+    feat_h = jax.lax.stop_gradient(feat_rgb) if stop_header_grads \
+        else feat_rgb
+    normals_pred = -_safe_normalize(
+        mlp_apply(params["norm_net"], feat_h, "relu", "none", cfg.dtype))
+    semantic = jax.nn.softmax(
+        mlp_apply(params["sem_net"], feat_h, "relu", "none", cfg.dtype),
+        axis=-1)
+
+    dn = _safe_normalize(d)
+    dsh = sh_encode(dn, cfg.sh_degree)
+
+    inputs = [dsh, feat_rgb]
+    if cfg.embed_a:
+        inputs.append(embedding_a)
+    h = jnp.concatenate(inputs, axis=-1)
+    out_act = "sigmoid" if cfg.rgb_act == "sigmoid" else "none"
+    rgbs = mlp_apply(params["rgb_net"], h, "relu", out_act, cfg.dtype)
+
+    if cfg.rgb_act == "none":
+        if output_radiance:
+            rgbs = trunc_exp(rgbs)
+        else:
+            rgbs = log_radiance_to_rgb(cfg, params, rgbs, exposure)
+
+    return sigmas, rgbs, normals_raw, normals_pred, semantic
+
+
+def ngp_forward_skybox(cfg: NGPConfig, params, d):
+    """Skybox background color from view direction (networks.py:284-291)."""
+    dn = _safe_normalize(d)
+    dsh = sh_encode(dn, cfg.skybox_sh_degree)
+    out_act = "sigmoid" if cfg.rgb_act == "sigmoid" else "none"
+    return mlp_apply(params["skybox_net"], dsh, "relu", out_act, cfg.dtype)

@@ -1,0 +1,190 @@
+"""Rendering orchestration: intersect -> march -> model -> composite -> bg.
+
+TPU-native equivalent of models/rendering.py (render /
+__render_rays_train / __render_rays_test / volume_render). One fully
+jit-compiled pipeline per mode instead of the reference's Python loop over
+CUDA launches:
+
+  train (rendering.py:193-251): AABB clamp -> fixed-capacity march ->
+    deterministic compaction of valid samples into a static (K,) batch
+    (replaces the rays_a ragged packing) -> batched model forward (MXU)
+    -> scatter back to (R, S) -> scan compositing -> background blend ->
+    Ref-NeRF loss composites.
+
+  test (rendering.py:46-133): same march with a larger sample budget and
+    headers under stop_gradient; the reference's alive-ray early-exit
+    loop is replaced by the compositor's T-threshold mask (dead samples
+    cost zero MLP work thanks to compaction: only valid samples enter
+    the network batch).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.intersect import ray_aabb_intersect
+from ..ops.march import MarchConfig, march_rays
+from ..ops.composite import composite_rays, distortion_loss, ref_loss
+from ..ops.pack import (
+    compact_samples, gather_samples, scatter_back, ray_ids_for,
+)
+from .ngp import NGPConfig, ngp_forward, ngp_forward_skybox
+
+MAX_SAMPLES = 1024    # models/rendering.py:9
+NEAR_DISTANCE = 0.01  # models/rendering.py:10
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering parameters."""
+    exp_step_factor: float = 0.0
+    T_threshold: float = 1e-4
+    max_samples: int = MAX_SAMPLES
+    capacity: int = 192          # S: per-ray sample slots
+    march_iters: int = 640       # M: march loop length (samples + skips)
+    samples_per_ray: int = 48    # K/R: network batch budget per ray
+    use_skybox: bool = False
+    random_bg: bool = False
+    stop_header_grads: bool = False
+
+    def march_cfg(self, model: NGPConfig) -> MarchConfig:
+        return MarchConfig(
+            grid_size=model.grid_size, cascades=model.cascades,
+            scale=model.scale, exp_step_factor=self.exp_step_factor,
+            max_samples=self.max_samples, capacity=self.capacity,
+            iters=self.march_iters)
+
+
+def clamp_near(hits_t):
+    """Push entry points below NEAR_DISTANCE out to it
+    (models/rendering.py:30)."""
+    t1 = hits_t[:, 0]
+    t1 = jnp.where((t1 >= 0) & (t1 < NEAR_DISTANCE), NEAR_DISTANCE, t1)
+    return jnp.stack([t1, hits_t[:, 1]], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "render_cfg"))
+def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
+                bitfield, rays_o, rays_d, noise, embedding_a=None,
+                exposure=None, bg_color=None):
+    """Render a batch of rays end to end (one jitted graph).
+
+    Args:
+      params: NGP parameter pytree.
+      bitfield: occupancy words from grid/occupancy.
+      rays_o, rays_d: (R, 3). noise: (R,) start jitter in [0,1)
+        (zeros at test time).
+      embedding_a: (R, embed_a_len) per-ray appearance codes or None.
+      bg_color: (3,) random/fixed background (rendering.py:229-240);
+        None = zeros (synthetic / skybox handles it).
+
+    Returns results dict (rgb, depth, opacity, normal_pred/raw, semantic,
+    ws/deltas/ts/valid for losses, Ro/Rp, total_samples, vr_samples).
+    """
+    R = rays_o.shape[0]
+    S = render_cfg.capacity
+    K = R * render_cfg.samples_per_ray
+
+    hits_t = clamp_near(ray_aabb_intersect(
+        rays_o, rays_d, jnp.zeros(3), jnp.full((3,), model_cfg.scale)))
+
+    march = march_rays(render_cfg.march_cfg(model_cfg), bitfield,
+                       jax.lax.stop_gradient(rays_o),
+                       jax.lax.stop_gradient(rays_d), hits_t, noise)
+    ts, deltas, valid = march["ts"], march["deltas"], march["valid"]
+
+    # ragged -> fixed: pack valid samples into a (K,) network batch
+    src, slot_valid, _ = compact_samples(valid, K)
+    rids = ray_ids_for(src, R)
+    t_k = gather_samples(ts, src)                          # (K,)
+    # positions differentiate through rays (pose refinement) but not t
+    # (RayMarcher backward, custom_functions.py:104-113)
+    xyz_k = rays_o[rids] + t_k[:, None] * rays_d[rids]
+    dir_k = rays_d[rids]
+    emb_k = embedding_a[rids] if embedding_a is not None else None
+
+    sigmas_k, rgbs_k, nraw_k, npred_k, sems_k = ngp_forward(
+        model_cfg, params, xyz_k, dir_k, embedding_a=emb_k,
+        exposure=exposure,
+        stop_header_grads=render_cfg.stop_header_grads)
+
+    # zero out padding lanes before scattering back
+    pad = ~slot_valid
+    sigmas_k = jnp.where(pad, 0.0, sigmas_k)
+    sigmas = scatter_back(sigmas_k, src, R, S)
+    rgbs = scatter_back(rgbs_k, src, R, S)
+    npred = scatter_back(npred_k, src, R, S)
+    nraw = scatter_back(nraw_k, src, R, S)
+    sems = scatter_back(sems_k, src, R, S)
+
+    # capacity overflow: samples that didn't fit in K must not composite
+    valid_k = scatter_back(slot_valid.astype(jnp.float32), src, R, S) > 0
+
+    results = composite_rays(sigmas, rgbs, deltas, ts, valid_k,
+                             render_cfg.T_threshold,
+                             normals_pred=npred, normals_raw=nraw,
+                             sems=sems)
+    results["ts"] = ts
+    results["deltas"] = deltas
+    results["valid"] = valid_k
+    results["total_samples"] = march["total_samples"]
+    results["sigmas"] = sigmas
+
+    # background compositing (rendering.py:229-240)
+    if render_cfg.use_skybox:
+        rgb_bg = ngp_forward_skybox(model_cfg, params, rays_d)
+    elif bg_color is not None:
+        rgb_bg = jnp.broadcast_to(bg_color, (R, 3))
+    else:
+        rgb_bg = jnp.zeros((R, 3))
+    results["rgb"] = results["rgb"] \
+        + rgb_bg * (1.0 - results["opacity"][:, None])
+
+    # Ref-NeRF normal consistency composites (rendering.py:242-249)
+    normals_diff = (nraw - npred) ** 2
+    dir_n = dir_k / jnp.maximum(
+        jnp.linalg.norm(dir_k, axis=-1, keepdims=True), 1e-6)
+    ori_k = jnp.maximum(jnp.sum(nraw_k * dir_n, -1), 0.0) ** 2
+    normals_ori = scatter_back(ori_k, src, R, S)
+    Ro, Rp = ref_loss(jax.lax.stop_gradient(sigmas), normals_diff,
+                      normals_ori, deltas, valid_k,
+                      render_cfg.T_threshold)
+    results["Ro"], results["Rp"] = Ro, Rp
+
+    results["distortion"] = distortion_loss(results["ws"], deltas, ts,
+                                            valid_k)
+    return results
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "render_cfg"))
+def render_rays_test(model_cfg: NGPConfig, render_cfg: RenderConfig,
+                     params, bitfield, rays_o, rays_d, embedding_a=None,
+                     exposure=None):
+    """Inference rendering (no noise, no loss terms, normalized outputs).
+
+    Matches __render_rays_test post-processing (rendering.py:173-185):
+    normal outputs re-normalized, semantics argmaxed, hit points returned.
+    """
+    res = render_rays(model_cfg, render_cfg, params, bitfield, rays_o,
+                      rays_d, jnp.zeros(rays_o.shape[0]),
+                      embedding_a=embedding_a, exposure=exposure)
+
+    def norm(v):
+        return v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+
+    out = {
+        "rgb": res["rgb"],
+        "depth": res["depth"],
+        "opacity": res["opacity"],
+        "normal_pred": norm(res["normal_pred"]),
+        "normal_raw": norm(res["normal_raw"]),
+        "semantic": jnp.argmax(res["semantic"], -1),
+        "semantic_probs": res["semantic"],
+        "total_samples": res["total_samples"],
+        "points": rays_o + rays_d * res["depth"][:, None],
+    }
+    return out

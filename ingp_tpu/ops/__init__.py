@@ -1,0 +1,10 @@
+from .activations import trunc_exp, trunc_tanh
+from .sh import sh_encode
+from .hashgrid import HashGridConfig, hashgrid_init, hashgrid_encode
+from .march import march_rays
+from .composite import (
+    composite_rays,
+    distortion_loss,
+    ref_loss,
+)
+from .pack import compact_samples, scatter_back, packbits_u32, bitfield_lookup

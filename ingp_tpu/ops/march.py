@@ -1,0 +1,131 @@
+"""Occupancy-grid ray marching with fixed-capacity sample segments.
+
+TPU-native replacement for the `vren.raymarching_train/test` CUDA kernels
+(models/csrc/raymarching.cu:166-454). The reference marches each ray in its
+own thread with a data-dependent while loop, compacting samples through
+atomicAdd slot assignment into ragged packed buffers — nondeterministic
+ordering, dynamic shapes. Here the march is a `lax.scan` over a *static*
+number of iterations, vectorized over all rays on the VPU; every iteration
+emits (t, dt, occupied) lanes, and a deterministic cumsum-scatter packs the
+occupied samples of each ray into a dense (R, S) buffer with a validity
+mask. Static shapes end to end, bit-identical run to run.
+
+Semantics matched to raymarching.cu:
+  - dt = clamp(t * exp_step_factor, sqrt3/max_samples, sqrt3*2*scale/gs)
+  - mip = max(mip_from_pos, mip_from_dt); cell looked up in the cascade
+  - occupied -> emit sample at t, advance t += dt
+  - empty -> advance t by whole dt steps until past the cell exit face
+    (the reference re-evaluates calc_dt every sub-step of that do/while,
+    raymarching.cu:230-233; we reuse the current dt for the skip, which
+    for exp_step_factor=0 is exact and otherwise is a slightly
+    conservative underestimate — never skips past where the reference
+    would land)
+  - per-ray sample cap, start-t perturbed by per-ray noise in [0,1)
+    (raymarching.cu:195-198)
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.cascade import (
+    calc_dt, mip_from_pos, mip_from_dt, cell_coord, cell_index, cell_exit_t,
+)
+from .pack import bitfield_lookup
+
+
+@dataclasses.dataclass(frozen=True)
+class MarchConfig:
+    """Static march parameters (all shape-determining)."""
+    grid_size: int = 128
+    cascades: int = 1
+    scale: float = 0.5
+    exp_step_factor: float = 0.0
+    max_samples: int = 1024   # reference MAX_SAMPLES; sets dt_min
+    capacity: int = 128       # S: per-ray sample slots in the output
+    iters: int = 512          # march loop iterations (samples + skips)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def march_rays(cfg: MarchConfig, bitfield, rays_o, rays_d, hits_t, noise):
+    """March R rays through the occupancy bitfield.
+
+    Args:
+      cfg: static MarchConfig.
+      bitfield: (cascades*grid_size^3/32,) uint32 occupancy words
+                (row-major cell order, ops/pack.packbits_u32 layout).
+      rays_o, rays_d: (R, 3) float32. Directions need not be unit norm.
+      hits_t: (R, 2) [t1, t2] from ray_aabb_intersect (-1 = miss).
+      noise: (R,) in [0, 1): start-t jitter (zeros for test rendering).
+
+    Returns dict:
+      ts:      (R, S) sample start distances (0 where invalid)
+      deltas:  (R, S) sample intervals (0 where invalid)
+      valid:   (R, S) bool sample mask
+      n_samples: (R,) int32 valid samples per ray
+      total_samples: () int32 sum of n_samples
+    """
+    R = rays_o.shape[0]
+    S, M = cfg.capacity, cfg.iters
+    t1, t2 = hits_t[:, 0], hits_t[:, 1]
+    inv_d = 1.0 / rays_d
+
+    dt0 = calc_dt(t1, cfg.exp_step_factor, cfg.max_samples, cfg.grid_size,
+                  cfg.scale)
+    t_init = jnp.where(t1 >= 0, t1 + dt0 * noise, t1)
+
+    def step(carry, _):
+        t, cnt = carry
+        active = (t >= 0) & (t < t2) & (cnt < S)
+        x = rays_o + t[:, None] * rays_d
+        dt = calc_dt(t, cfg.exp_step_factor, cfg.max_samples, cfg.grid_size,
+                     cfg.scale)
+        mip = jnp.maximum(mip_from_pos(x, cfg.cascades),
+                          mip_from_dt(dt, cfg.grid_size, cfg.cascades))
+        coord, bound = cell_coord(x, mip, cfg.grid_size, cfg.scale)
+        idx = cell_index(coord, mip, cfg.grid_size)
+        occ = bitfield_lookup(bitfield, idx) & active
+
+        # advance: one dt step if occupied, whole-dt jump past the cell
+        # exit face if empty (>= 1 step so progress is guaranteed)
+        t_exit = cell_exit_t(x, t, coord, bound, rays_d, inv_d,
+                             cfg.grid_size)
+        n_steps = jnp.maximum(jnp.ceil((t_exit - t) / dt), 1.0)
+        t_next = jnp.where(occ, t + dt, t + n_steps * dt)
+        return ((jnp.where(active, t_next, t), cnt + occ),
+                (t.astype(jnp.float32), dt.astype(jnp.float32), occ))
+
+    (_, n_samples), (ts_m, dt_m, occ_m) = jax.lax.scan(
+        step, (t_init, jnp.zeros((R,), jnp.int32)), None, length=M)
+
+    # deterministic pack: iteration-ordered cumsum gives each occupied
+    # sample its slot in the ray's row (replaces the atomicAdd compaction
+    # of raymarching.cu:237-241)
+    slot = jnp.cumsum(occ_m.astype(jnp.int32), axis=0) - 1        # (M, R)
+    ray_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32), (M, R))
+    ok = occ_m & (slot < S)
+    flat = jnp.where(ok, ray_ids * S + slot, R * S)               # dump OOB
+
+    ts = jnp.zeros((R * S,), jnp.float32).at[flat.reshape(-1)].set(
+        ts_m.reshape(-1), mode="drop").reshape(R, S)
+    deltas = jnp.zeros((R * S,), jnp.float32).at[flat.reshape(-1)].set(
+        dt_m.reshape(-1), mode="drop").reshape(R, S)
+
+    n_samples = jnp.minimum(n_samples, S)
+    valid = jnp.arange(S, dtype=jnp.int32)[None, :] < n_samples[:, None]
+    return {
+        "ts": ts,
+        "deltas": deltas,
+        "valid": valid,
+        "n_samples": n_samples,
+        "total_samples": jnp.sum(n_samples),
+    }
+
+
+def sample_positions(rays_o, rays_d, ts, valid):
+    """(R, S) sample t -> (R, S, 3) world positions (zeros where invalid)."""
+    x = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    return jnp.where(valid[..., None], x, 0.0)
