@@ -1,0 +1,75 @@
+"""Benchmark: training throughput (rays/s) of the flagship NGP op-point.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md). vs_baseline compares
+against NOMINAL_REF_RAYS_PER_S, a documented estimate of the reference's
+single-GPU training throughput at the same op-point (upstream ngp_pl
+reports ~5 min for 30k steps x 8192 rays on an RTX 3090 for Lego —
+~8e5 rays/s; instant-ngp-pp adds normal/semantic heads and the
+double-backward normal path, roughly halving it). vs_baseline > 1 means
+faster than that estimate.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+NOMINAL_REF_RAYS_PER_S = 4.0e5
+
+STEPS_MEASURE = 30
+STEPS_WARMUP = 3
+BATCH = 8192
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from ingp_tpu.training.trainer import NeRFSystem
+    from ingp_tpu.data.synthetic import SyntheticDataset
+
+    h = SimpleNamespace(
+        dataset_name="synthetic", root_dir="", split="train",
+        downsample=1.0, scale=0.5, use_skybox=False, use_exposure=False,
+        embed_a=False, embed_a_len=4, embed_msk=False, num_classes=7,
+        batch_size=BATCH, ray_sampling_strategy="all_images",
+        num_epochs=20, normal_epochs=0, steps_per_epoch=1000, lr=1e-2,
+        density_threshold=1e-2, depth_mono=False, normal_mono=False,
+        normal_ref=True, optimize_ext=False, random_bg=False,
+        render_semantic=False, chunk_size=131072, seed=0, ckpt_load=None,
+        compute_dtype="bfloat16",
+        capacity=128, march_iters=384, samples_per_ray=24,
+    )
+    tr = SyntheticDataset(split="train", img_size=256, n_train=16)
+    te = SyntheticDataset(split="test", img_size=256, n_test=1)
+    system = NeRFSystem(h, tr, te)
+
+    rng = np.random.default_rng(0)
+    # settle the occupancy grid + compile everything
+    for _ in range(STEPS_WARMUP):
+        system.training_step(tr.sample_batch(rng, BATCH))
+    for _ in range(16):  # converge grid a bit so s/ray is realistic
+        system.training_step(tr.sample_batch(rng, BATCH))
+    jax.block_until_ready(system.params)
+
+    batches = [tr.sample_batch(rng, BATCH) for _ in range(STEPS_MEASURE)]
+    t0 = time.perf_counter()
+    for b in batches:
+        aux = system.training_step(b)
+    jax.block_until_ready((system.params, aux))
+    dt = time.perf_counter() - t0
+
+    rays_per_s = STEPS_MEASURE * BATCH / dt
+    print(json.dumps({
+        "metric": "train_rays_per_s_per_chip",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / NOMINAL_REF_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

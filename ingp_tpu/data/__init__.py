@@ -38,6 +38,16 @@ def _kitti(*a, **k):
     return KittiDataset(*a, **k)
 
 
+def _highbay(*a, **k):
+    from .highbay import HighbayDataset
+    return HighbayDataset(*a, **k)
+
+
+def _mega(*a, **k):
+    from .mega.dataset import MegaDataset
+    return MegaDataset(*a, **k)
+
+
 def _synthetic(*a, **k):
     from .synthetic import SyntheticDataset
     return SyntheticDataset(*a, **k)
@@ -50,5 +60,7 @@ dataset_dict = {
     "nerfpp": _nerfpp,
     "tnt": _tnt,
     "kitti": _kitti,
+    "mega": _mega,
+    "highbay": _highbay,
     "synthetic": _synthetic,
 }

@@ -1,0 +1,4 @@
+from .dataset import MegaDataset, get_image_metadata, \
+    get_image_metadata_partial
+from .filesystem_dataset import FilesystemDataset
+from .image_metadata import ImageMetadata

@@ -1,0 +1,29 @@
+"""Mesh extraction entry point (reference extract_mesh.py equivalent):
+`python -m ingp_tpu.extract_mesh_cli --config ... --ckpt_load ckpts/...`
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+from .training.config import get_opts
+from .training.trainer import NeRFSystem, model_config_from_hparams
+from .models.ngp import ngp_sigma
+from .render.mesh import extract_mesh
+
+
+def main(argv=None):
+    hparams = get_opts(argv)
+    system = NeRFSystem(hparams)
+    out_dir = os.path.join("results", hparams.dataset_name,
+                           hparams.exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, "mesh.ply")
+    density_fn = partial(ngp_sigma, system.model_cfg)
+    verts, faces = extract_mesh(density_fn, system.params["model"],
+                                hparams.scale, out_path=out_path)
+    print(f"wrote {len(verts)} verts / {len(faces)} faces to {out_path}")
+
+
+if __name__ == "__main__":
+    main()

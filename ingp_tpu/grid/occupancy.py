@@ -107,6 +107,22 @@ def mark_invisible_cells(grid, K, poses, img_w: int, img_h: int,
     }
 
 
+def _eval_density_chunked(density_fn, params, xyz, chunk: int = 65536):
+    """Evaluate density over a big cell batch in fixed-size chunks with
+    lax.map, bounding the encoder's intermediate memory (the reference
+    chunks its cell sweep the same way, networks.py:336, 354). A 128^3
+    warmup sweep through a 16-level F=8 encoder would otherwise
+    materialize ~10^2 GB of gather intermediates."""
+    n = xyz.shape[0]
+    if n <= chunk:
+        return density_fn(params, xyz)
+    pad = (-n) % chunk
+    x = jnp.pad(xyz, ((0, pad), (0, 0)))
+    out = jax.lax.map(lambda c: density_fn(params, c),
+                      x.reshape(-1, chunk, 3))
+    return out.reshape(-1)[:n]
+
+
 def _sample_occupied(key, mask, M: int):
     """Inverse-CDF draw of M cell ids from the occupied set (jit-safe
     replacement for networks.py:324-329). mask: (G3,) bool."""
@@ -156,7 +172,8 @@ def update_density_grid(density_fn, params, grid, key, density_threshold,
         xyzs_w, half = _cascade_world_coords(coords, c, grid_size, scale)
         jitter = jax.random.uniform(k_jit, xyzs_w.shape, minval=-1.0,
                                     maxval=1.0) * half
-        sigmas = density_fn(params, xyzs_w + jitter)
+        sigmas = _eval_density_chunked(density_fn, params,
+                                       xyzs_w + jitter)
         tmp = tmp.at[c].max(jnp.zeros((g3,)).at[idx].max(sigmas))
 
     if erode:

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.intersect import ray_aabb_intersect
-from ..ops.march import MarchConfig, march_rays
+from ..ops.march import MarchConfig, march_rays_lattice
 from ..ops.composite import composite_rays, distortion_loss, ref_loss
 from ..ops.pack import (
     compact_samples, gather_samples, scatter_back, ray_ids_for,
@@ -44,7 +44,7 @@ class RenderConfig:
     T_threshold: float = 1e-4
     max_samples: int = MAX_SAMPLES
     capacity: int = 192          # S: per-ray sample slots
-    march_iters: int = 640       # M: march loop length (samples + skips)
+    march_iters: int = 1024      # M: dt-lattice length (see ops/march)
     samples_per_ray: int = 48    # K/R: network batch budget per ray
     use_skybox: bool = False
     random_bg: bool = False
@@ -69,7 +69,7 @@ def clamp_near(hits_t):
 @partial(jax.jit, static_argnames=("model_cfg", "render_cfg"))
 def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
                 bitfield, rays_o, rays_d, noise, embedding_a=None,
-                exposure=None, bg_color=None):
+                exposure=None, bg_color=None, skybox_gate=1.0):
     """Render a batch of rays end to end (one jitted graph).
 
     Args:
@@ -80,6 +80,8 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
       embedding_a: (R, embed_a_len) per-ray appearance codes or None.
       bg_color: (3,) random/fixed background (rendering.py:229-240);
         None = zeros (synthetic / skybox handles it).
+      skybox_gate: traced 0/1 scalar; the trainer disables the skybox
+        during grid warmup (train.py:160) without recompiling.
 
     Returns results dict (rgb, depth, opacity, normal_pred/raw, semantic,
     ws/deltas/ts/valid for losses, Ro/Rp, total_samples, vr_samples).
@@ -91,9 +93,10 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
     hits_t = clamp_near(ray_aabb_intersect(
         rays_o, rays_d, jnp.zeros(3), jnp.full((3,), model_cfg.scale)))
 
-    march = march_rays(render_cfg.march_cfg(model_cfg), bitfield,
-                       jax.lax.stop_gradient(rays_o),
-                       jax.lax.stop_gradient(rays_d), hits_t, noise)
+    march = march_rays_lattice(render_cfg.march_cfg(model_cfg), bitfield,
+                               jax.lax.stop_gradient(rays_o),
+                               jax.lax.stop_gradient(rays_d), hits_t,
+                               noise)
     ts, deltas, valid = march["ts"], march["deltas"], march["valid"]
 
     # ragged -> fixed: pack valid samples into a (K,) network batch
@@ -134,12 +137,13 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
     results["sigmas"] = sigmas
 
     # background compositing (rendering.py:229-240)
+    base_bg = jnp.broadcast_to(bg_color, (R, 3)) if bg_color is not None \
+        else jnp.zeros((R, 3))
     if render_cfg.use_skybox:
-        rgb_bg = ngp_forward_skybox(model_cfg, params, rays_d)
-    elif bg_color is not None:
-        rgb_bg = jnp.broadcast_to(bg_color, (R, 3))
+        sky = ngp_forward_skybox(model_cfg, params, rays_d)
+        rgb_bg = skybox_gate * sky + (1.0 - skybox_gate) * base_bg
     else:
-        rgb_bg = jnp.zeros((R, 3))
+        rgb_bg = base_bg
     results["rgb"] = results["rgb"] \
         + rgb_bg * (1.0 - results["opacity"][:, None])
 

@@ -1,7 +1,7 @@
 from .activations import trunc_exp, trunc_tanh
 from .sh import sh_encode
 from .hashgrid import HashGridConfig, hashgrid_init, hashgrid_encode
-from .march import march_rays
+from .march import march_rays, march_rays_lattice, MarchConfig
 from .composite import (
     composite_rays,
     distortion_loss,

@@ -5,12 +5,17 @@ configures in networks.py:40-52 (density: L=16 F=8 T=2^19 Nmin=16) and
 networks.py:67-76 (rgb: L=16 F=8 T=2^21), plus implicit_mask.py:14-24.
 
 Design (vs. tcnn's CUDA kernels):
-  - all level tables live in ONE (total_rows, F) array; per-level row
-    offsets are static Python ints, so the whole encode is a single
-    batched XLA gather (N*L*8 rows) that the TPU pipelines from HBM.
-  - trilinear interpolation weights are computed on the VPU in fp32.
-  - backward is plain JAX AD: d/dtable is a scatter-add (deterministic,
-    unlike tcnn's atomicAdd), d/dx is the exact analytic trilerp
+  - all level tables live in ONE **feature-major** (F, total_rows) array.
+    TPU tiles pad the last dimension to 128 lanes, so any intermediate
+    with a trailing F=8 or xyz=3 axis inflates 16-43x in HBM (measured:
+    a (8, N, L, F) gather temp cost 12 GB for 768 MB of data). Keeping
+    the *point* axis last — (3, L, N) coordinates, (F, L, N) features —
+    makes every temp dense in the lane dimension.
+  - the encode unrolls over the 8 cube corners; each corner is one
+    batched gather of (F, L*N) rows that the TPU pipelines from HBM,
+    fused with the trilinear weight multiply-accumulate on the VPU.
+  - backward is plain JAX AD: d/dtable is a deterministic scatter-add
+    (unlike tcnn's atomicAdd), d/dx is the exact analytic trilerp
     derivative — which also makes grad-of-grad (the density-normal
     double backward, networks.py:186-196) exact and cheap.
   - levels whose dense grid fits in the table are indexed directly
@@ -58,8 +63,8 @@ class HashGridConfig:
             dense = res ** 3
             use_hash = dense > T
             size = T if use_hash else dense
-            # round rows to a multiple of 8 to keep offsets tile-friendly
-            size = -(-size // 8) * 8
+            # round rows to a multiple of 128 (lane tile) per level
+            size = -(-size // 128) * 128
             scales.append(float(scale))
             resolutions.append(res)
             hashed.append(use_hash)
@@ -92,39 +97,10 @@ def per_level_scale_for(scene_scale: float, n_levels: int = 16,
 
 
 def hashgrid_init(key, cfg: HashGridConfig, dtype=jnp.float32):
-    """Init table uniform in [-1e-4, 1e-4] (Instant-NGP convention)."""
-    return jax.random.uniform(key, (cfg.total_rows, cfg.n_features),
+    """Init (F, total_rows) table uniform in [-1e-4, 1e-4]."""
+    return jax.random.uniform(key, (cfg.n_features, cfg.total_rows),
                               minval=-1e-4, maxval=1e-4, dtype=jnp.float32
                               ).astype(dtype)
-
-
-def _level_indices(cfg: HashGridConfig, corner: jnp.ndarray) -> jnp.ndarray:
-    """Row index into the flat table for integer corner coords.
-
-    corner: (N, L, 8, 3) int32, already clamped to [0, res_l - 1].
-    Returns (N, L, 8) int32 absolute row ids (level offset included).
-    """
-    N = corner.shape[0]
-    L = cfg.n_levels
-    cu = corner.astype(jnp.uint32)
-    idx_out = []
-    for l in range(L):
-        c = cu[:, l]  # (N, 8, 3)
-        if cfg.hashed[l]:
-            h = (c[..., 0] * jnp.uint32(_PRIMES[0])
-                 ^ c[..., 1] * jnp.uint32(_PRIMES[1])
-                 ^ c[..., 2] * jnp.uint32(_PRIMES[2]))
-            idx = h & jnp.uint32(cfg.hashmap_size - 1)
-        else:
-            res = jnp.uint32(cfg.resolutions[l])
-            idx = (c[..., 2] * res + c[..., 1]) * res + c[..., 0]
-        idx_out.append(idx.astype(jnp.int32) + cfg.offsets[l])
-    return jnp.stack(idx_out, axis=1)  # (N, L, 8)
-
-
-# binary corner offsets of a unit cube, (8, 3)
-_CORNERS = np.array([[i & 1, (i >> 1) & 1, (i >> 2) & 1]
-                     for i in range(8)], dtype=np.int32)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -133,34 +109,51 @@ def hashgrid_encode(cfg: HashGridConfig, table: jnp.ndarray, x: jnp.ndarray):
 
     Args:
       cfg: static HashGridConfig.
-      table: (total_rows, F) parameters.
+      table: (F, total_rows) parameters (feature-major).
       x: (N, 3) positions in [0, 1]^3 (out-of-range values are clamped by
          the corner clamp, mirroring tcnn's boundary behavior).
 
     Returns:
-      (N, L*F) features, level-major, in x's dtype promoted with table's.
+      (N, L*F) float32 features, level-major.
     """
     N = x.shape[0]
     L, F = cfg.n_levels, cfg.n_features
-    scales = jnp.asarray(cfg.scales, dtype=jnp.float32)       # (L,)
-    res = jnp.asarray(cfg.resolutions, dtype=jnp.int32)       # (L,)
+    scales = jnp.asarray(cfg.scales, dtype=jnp.float32)          # (L,)
+    res = jnp.asarray(cfg.resolutions, dtype=jnp.int32)          # (L,)
+    offsets = jnp.asarray(cfg.offsets, dtype=jnp.uint32)         # (L,)
+    hashed = jnp.asarray(cfg.hashed, dtype=jnp.bool_)            # (L,)
 
-    pos = x.astype(jnp.float32)[:, None, :] * scales[None, :, None] + 0.5
+    # point axis LAST everywhere (TPU lane dim): (3, L, N)
+    xT = x.astype(jnp.float32).T                                  # (3, N)
+    pos = xT[:, None, :] * scales[None, :, None] + 0.5            # (3,L,N)
     pos_grid = jnp.floor(pos)
-    frac = pos - pos_grid                                      # (N, L, 3)
+    frac = pos - pos_grid
     pos_grid = pos_grid.astype(jnp.int32)
 
-    corners = jnp.asarray(_CORNERS)                            # (8, 3)
-    corner = pos_grid[:, :, None, :] + corners[None, None]     # (N, L, 8, 3)
-    corner = jnp.clip(corner, 0, res[None, :, None, None] - 1)
+    res_b = res[None, :, None]                                    # (1,L,1)
+    mask = jnp.uint32(cfg.hashmap_size - 1)
 
-    rows = _level_indices(cfg, corner)                         # (N, L, 8)
-    feats = jnp.take(table, rows.reshape(-1), axis=0)          # (N*L*8, F)
-    feats = feats.reshape(N, L, 8, F).astype(jnp.float32)
+    acc = jnp.zeros((F, L, N), jnp.float32)
+    for c in range(8):
+        bits = ((c & 1), ((c >> 1) & 1), ((c >> 2) & 1))
+        corner = jnp.clip(
+            pos_grid + jnp.asarray(bits, jnp.int32)[:, None, None],
+            0, res_b - 1)                                         # (3,L,N)
+        cu = corner.astype(jnp.uint32)
+        h = (cu[0] * jnp.uint32(_PRIMES[0])
+             ^ cu[1] * jnp.uint32(_PRIMES[1])
+             ^ cu[2] * jnp.uint32(_PRIMES[2])) & mask             # (L, N)
+        ru = res.astype(jnp.uint32)[:, None]
+        dense = (cu[2] * ru + cu[1]) * ru + cu[0]                 # (L, N)
+        rows = (jnp.where(hashed[:, None], h, dense)
+                + offsets[:, None]).astype(jnp.int32)             # (L, N)
 
-    c = corners.astype(jnp.float32)[None, None]                # (1,1,8,3)
-    w = jnp.prod(c * frac[:, :, None, :] +
-                 (1.0 - c) * (1.0 - frac[:, :, None, :]), axis=-1)  # (N,L,8)
+        feats = jnp.take(table, rows.reshape(-1), axis=1
+                         ).reshape(F, L, N).astype(jnp.float32)
+        fb = jnp.asarray(bits, jnp.float32)[:, None, None]
+        w = jnp.prod(fb * frac + (1.0 - fb) * (1.0 - frac),
+                     axis=0)                                      # (L, N)
+        acc = acc + feats * w[None]
 
-    out = jnp.sum(w[..., None] * feats, axis=2)                # (N, L, F)
-    return out.reshape(N, L * F)
+    # (F, L, N) -> (N, L, F) level-major, one relayout at the end
+    return jnp.transpose(acc, (2, 1, 0)).reshape(N, L * F)

@@ -28,11 +28,13 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..core.cascade import (
-    calc_dt, mip_from_pos, mip_from_dt, cell_coord, cell_index, cell_exit_t,
+    SQRT3, calc_dt, mip_from_pos, mip_from_dt, cell_coord, cell_index,
+    cell_exit_t,
 )
 from .pack import bitfield_lookup
 
@@ -129,3 +131,97 @@ def sample_positions(rays_o, rays_d, ts, valid):
     """(R, S) sample t -> (R, S, 3) world positions (zeros where invalid)."""
     x = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
     return jnp.where(valid[..., None], x, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Lattice marcher: the scan-free fast path
+# ---------------------------------------------------------------------------
+#
+# Key observation about raymarching.cu:200-279: the visited t values are a
+# *deterministic per-ray lattice* independent of occupancy. Every advance
+# is `t += calc_dt(t)` — including the empty-space skip, whose do/while
+# (raymarching.cu:230-233) just fast-forwards through lattice points
+# inside the empty cell. Occupancy only selects WHICH lattice points
+# become samples. So the entire sequential DDA march is equivalent to:
+#
+#   1. evaluate the lattice t_k(t1, k) in closed form (vectorized over
+#      rays AND steps — no scan, no sequential dependency),
+#   2. one batched occupancy gather over all (R, M) lattice points,
+#   3. keep the first S occupied points per ray (cumsum + scatter).
+#
+# The recurrence t_{k+1} = t_k + clamp(t_k*f, lo, hi) has three regimes
+# with closed forms: linear-lo (dt=lo while t < lo/f), geometric
+# (t *= 1+f while t < hi/f), linear-hi (dt=hi). Regime-boundary floats
+# differ from sequential accumulation at ~1e-6 — metric-level parity.
+
+def _lattice_t(t1, k, exp_step_factor: float, max_samples: int,
+               grid_size: int, scale: float):
+    """t value of lattice step k (k: (M,) int; t1: (R,) start)."""
+    lo = SQRT3 / max_samples
+    hi = SQRT3 * 2 * scale / grid_size
+    kf = k.astype(jnp.float32)[None, :]           # (1, M)
+    t1 = t1[:, None]                              # (R, 1)
+    f = exp_step_factor
+    if f == 0.0 or lo >= hi:
+        return t1 + kf * lo
+    n1 = jnp.maximum(jnp.ceil((lo / f - t1) / lo), 0.0)     # (R, 1)
+    t_n1 = t1 + n1 * lo
+    log1pf = np.log1p(f)
+    n2 = jnp.maximum(jnp.ceil(jnp.log(hi / f / t_n1) / log1pf), 0.0)
+    t_geo = t_n1 * jnp.exp2(jnp.log2(1.0 + f) * (kf - n1))
+    t_geo_end = t_n1 * jnp.exp(n2 * log1pf)
+    return jnp.where(
+        kf < n1, t1 + kf * lo,
+        jnp.where(kf < n1 + n2, t_geo, t_geo_end + (kf - n1 - n2) * hi))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def march_rays_lattice(cfg: MarchConfig, bitfield, rays_o, rays_d, hits_t,
+                       noise):
+    """Scan-free occupancy march (same contract as march_rays).
+
+    cfg.iters is M, the lattice length: it must cover the longest
+    possible march (max_samples covers any AABB at dt_min; exp-stepped
+    real scenes need far fewer).
+    """
+    R = rays_o.shape[0]
+    S, M = cfg.capacity, cfg.iters
+    t1, t2 = hits_t[:, 0], hits_t[:, 1]
+
+    dt0 = calc_dt(t1, cfg.exp_step_factor, cfg.max_samples, cfg.grid_size,
+                  cfg.scale)
+    t_start = t1 + dt0 * noise
+
+    k = jnp.arange(M, dtype=jnp.int32)
+    ts_m = _lattice_t(t_start, k, cfg.exp_step_factor, cfg.max_samples,
+                      cfg.grid_size, cfg.scale)                  # (R, M)
+    dt_m = calc_dt(ts_m, cfg.exp_step_factor, cfg.max_samples,
+                   cfg.grid_size, cfg.scale)
+
+    in_range = (t1[:, None] >= 0) & (ts_m >= 0) & (ts_m < t2[:, None])
+    x = rays_o[:, None, :] + ts_m[..., None] * rays_d[:, None, :]
+    mip = jnp.maximum(mip_from_pos(x, cfg.cascades),
+                      mip_from_dt(dt_m, cfg.grid_size, cfg.cascades))
+    coord, _ = cell_coord(x, mip, cfg.grid_size, cfg.scale)
+    idx = cell_index(coord, mip, cfg.grid_size)
+    occ = bitfield_lookup(bitfield, idx) & in_range              # (R, M)
+
+    slot = jnp.cumsum(occ.astype(jnp.int32), axis=1) - 1         # (R, M)
+    ok = occ & (slot < S)
+    ray_ids = jnp.arange(R, dtype=jnp.int32)[:, None]
+    flat = jnp.where(ok, ray_ids * S + slot, R * S)
+
+    ts = jnp.zeros((R * S,), jnp.float32).at[flat.reshape(-1)].set(
+        ts_m.reshape(-1), mode="drop").reshape(R, S)
+    deltas = jnp.zeros((R * S,), jnp.float32).at[flat.reshape(-1)].set(
+        dt_m.reshape(-1), mode="drop").reshape(R, S)
+
+    n_samples = jnp.minimum(jnp.sum(occ, axis=1), S)
+    valid = jnp.arange(S, dtype=jnp.int32)[None, :] < n_samples[:, None]
+    return {
+        "ts": ts,
+        "deltas": deltas,
+        "valid": valid,
+        "n_samples": n_samples,
+        "total_samples": jnp.sum(n_samples),
+    }

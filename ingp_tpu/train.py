@@ -1,0 +1,48 @@
+"""Training entry point: `python -m ingp_tpu.train --config cfg.txt ...`
+
+TPU-native equivalent of the reference's root train.py __main__
+(train.py:401-455): seed, build NeRFSystem, fit, save full + slim
+checkpoints, final validation (and offline render unless --no_save_test).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .training.config import get_opts
+from .training.trainer import NeRFSystem
+
+
+def main(argv=None):
+    hparams = get_opts(argv)
+    if hparams.val_only and not hparams.ckpt_load:
+        raise ValueError("you need to provide --ckpt_load when --val_only")
+    np.random.seed(hparams.seed)
+
+    mesh = None
+    if hparams.num_gpus > 1:
+        import jax
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(hparams.num_gpus)
+
+    system = NeRFSystem(hparams, mesh=mesh)
+    ckpt_dir = os.path.join("ckpts", hparams.dataset_name,
+                            hparams.exp_name)
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    if not hparams.val_only:
+        system.fit(ckpt_dir=ckpt_dir)
+
+    metrics = system.validate()
+    print(f"test/psnr {metrics['psnr']:.3f}  test/ssim "
+          f"{metrics['ssim']:.4f}")
+
+    if not hparams.no_save_test and not hparams.val_only:
+        from .render.offline import render_for_test
+        render_for_test(hparams, system=system)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--samples_per_ray", type=int, default=48,
                         help="network batch budget K/R")
     parser.add_argument("--seed", type=int, default=20220806)  # train.py:402
+    # model-size overrides (default = reference op-point networks.py:36,63)
+    parser.add_argument("--grid_size", type=int, default=128)
+    parser.add_argument("--density_L", type=int, default=16)
+    parser.add_argument("--density_F", type=int, default=8)
+    parser.add_argument("--density_log2T", type=int, default=19)
+    parser.add_argument("--rgb_L", type=int, default=16)
+    parser.add_argument("--rgb_F", type=int, default=8)
+    parser.add_argument("--rgb_log2T", type=int, default=21)
     return parser
 
 

@@ -1,0 +1,405 @@
+"""Training system — TPU-native replacement for the pytorch-lightning
+NeRFSystem (train.py:82-455).
+
+Architecture: the entire optimization step (ray assembly from cached
+poses/directions, pose-refinement deltas, appearance-embedding lookup,
+render, all losses, backward, Adam update) is ONE jit-compiled XLA
+program with donated buffers; the occupancy-grid refresh every 16 steps
+is a second jitted program (train.py:271-275). The host loop only
+samples pixel indices (NumPy) and feeds fixed-shape batches.
+
+Data parallelism: with n_devices > 1 the step is compiled over a 1-D
+('data',) jax.sharding.Mesh — ray batch sharded, parameters replicated,
+gradient psum inserted by XLA (replaces PL's DDPPlugin/NCCL,
+train.py:39, 430-432). See parallel/.
+"""
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.rays import get_rays, axisangle_to_R
+from ..models.ngp import NGPConfig, ngp_init, ngp_sigma
+from ..models.rendering import (RenderConfig, render_rays, render_rays_test,
+                                MAX_SAMPLES)
+from ..models.implicit_mask import mask_init, mask_apply
+from ..grid.occupancy import (grid_init, mark_invisible_cells,
+                              update_density_grid)
+from .losses import LossConfig, compute_losses, total_loss
+from .metrics import psnr, ssim
+from ..utils.ckpt import save_ckpt, load_ckpt, slim_state
+
+REAL_DATASETS = ("colmap", "nerfpp", "tnt", "kitti", "mega", "highbay")
+
+
+def model_config_from_hparams(h) -> NGPConfig:
+    """train.py:99-106. Optional attrs (density_L, ...) override the
+    flagship encoder op-point — used by tests/dryruns with small grids."""
+    return NGPConfig(
+        scale=h.scale,
+        rgb_act="none" if h.use_exposure else "sigmoid",
+        use_skybox=h.use_skybox,
+        embed_a=h.embed_a,
+        embed_a_len=h.embed_a_len,
+        classes=h.num_classes,
+        compute_dtype=getattr(h, "compute_dtype", "float32"),
+        grid_size=getattr(h, "grid_size", 128),
+        density_L=getattr(h, "density_L", 16),
+        density_F=getattr(h, "density_F", 8),
+        density_log2T=getattr(h, "density_log2T", 19),
+        rgb_L=getattr(h, "rgb_L", 16),
+        rgb_F=getattr(h, "rgb_F", 8),
+        rgb_log2T=getattr(h, "rgb_log2T", 21),
+    )
+
+
+def render_config_from_hparams(h, test=False) -> RenderConfig:
+    exp_step = 1.0 / 256 if h.dataset_name in REAL_DATASETS else 0.0
+    return RenderConfig(
+        exp_step_factor=exp_step,
+        T_threshold=1e-2 if test else 1e-4,   # render.py:125 / rendering.py:227
+        max_samples=MAX_SAMPLES,
+        capacity=getattr(h, "capacity", 192),
+        march_iters=getattr(h, "march_iters", 640),
+        samples_per_ray=getattr(h, "samples_per_ray", 48),
+        use_skybox=h.use_skybox,
+        random_bg=h.random_bg,
+        stop_header_grads=test,
+    )
+
+
+def loss_config_from_hparams(h) -> LossConfig:
+    return LossConfig(
+        embed_msk=h.embed_msk,
+        normal_ref=h.normal_ref,
+        normal_mono=h.normal_mono,
+        semantic=h.render_semantic,
+        depth_mono=h.depth_mono,
+        depth_scale=h.scale,
+        lambda_distortion=1e-4 if h.dataset_name == "mega" else 3e-4,
+    )
+
+
+class NeRFSystem:
+    """Owns params/optimizer/grid state and the jitted step functions."""
+
+    WARMUP_STEPS = 256     # train.py:87
+    UPDATE_INTERVAL = 16   # train.py:88
+
+    def __init__(self, hparams, train_dataset=None, test_dataset=None,
+                 mesh=None):
+        self.hparams = hparams
+        self.model_cfg = model_config_from_hparams(hparams)
+        self.render_cfg = render_config_from_hparams(hparams)
+        self.render_cfg_test = render_config_from_hparams(hparams, test=True)
+        self.loss_cfg = loss_config_from_hparams(hparams)
+        self.mesh = mesh
+
+        if train_dataset is None:
+            from ..data import dataset_dict
+            kwargs = dict(root_dir=hparams.root_dir,
+                          downsample=hparams.downsample)
+            if hparams.dataset_name == "kitti":
+                kwargs.update(seq_id=hparams.kitti_seq,
+                              frame_start=hparams.kitti_start,
+                              frame_end=hparams.kitti_end,
+                              test_id=hparams.kitti_test_id,
+                              nvs=hparams.nvs)
+            ctor = dataset_dict[hparams.dataset_name]
+            train_dataset = ctor(split=hparams.split, **kwargs)
+            test_dataset = ctor(split="test", **kwargs)
+        self.train_dataset = train_dataset
+        self.test_dataset = test_dataset
+        self.train_dataset.batch_size = hparams.batch_size
+        self.train_dataset.ray_sampling_strategy = \
+            hparams.ray_sampling_strategy
+        self.img_wh = self.train_dataset.img_wh
+
+        # --- parameters -------------------------------------------------
+        key = jax.random.PRNGKey(hparams.seed)
+        k_model, k_emb, k_msk = jax.random.split(key, 3)
+        N_imgs = self.train_dataset.n_images
+        self.N_imgs = N_imgs
+        params = {"model": ngp_init(k_model, self.model_cfg)}
+        # embedding table always allocated like the reference
+        # (train.py:214); only used when embed_a
+        params["embedding_a"] = 0.01 * jax.random.normal(
+            k_emb, (N_imgs, hparams.embed_a_len))
+        if hparams.embed_msk:
+            params["msk"] = mask_init(k_msk)
+        if hparams.optimize_ext:
+            params["ext"] = {"dR": jnp.zeros((N_imgs, 3)),
+                             "dT": jnp.zeros((N_imgs, 3))}
+        self.params = params
+
+        # --- optimizer (train.py:238-253) -------------------------------
+        total_steps = (hparams.num_epochs + hparams.normal_epochs) \
+            * hparams.steps_per_epoch
+        self.lr_schedule = optax.cosine_decay_schedule(
+            hparams.lr, total_steps, alpha=1.0 / 30)
+        net_opt = optax.adam(self.lr_schedule, eps=1e-8)
+        if hparams.optimize_ext:
+            label_tree = jax.tree.map(lambda _: "net", params)
+            label_tree["ext"] = jax.tree.map(lambda _: "ext",
+                                             params["ext"])
+            tx = optax.multi_transform(
+                {"net": net_opt, "ext": optax.adam(1e-6)}, label_tree)
+        else:
+            tx = net_opt
+        # PL Trainer(gradient_clip_val=50) clips the global norm
+        # (train.py:434)
+        self.tx = optax.chain(optax.clip_by_global_norm(50.0), tx)
+        self.opt_state = self.tx.init(params)
+
+        # --- occupancy grid ---------------------------------------------
+        self.grid = grid_init(self.model_cfg.cascades,
+                              self.model_cfg.grid_size)
+        w, h = self.img_wh
+        self.grid = mark_invisible_cells(
+            self.grid, jnp.asarray(self.train_dataset.K),
+            jnp.asarray(self.train_dataset.poses), w, h,
+            self.model_cfg.grid_size, self.model_cfg.cascades,
+            self.model_cfg.scale)
+
+        # cached device buffers (train.py:221-222)
+        self.directions = jnp.asarray(self.train_dataset.directions)
+        self.poses = jnp.asarray(self.train_dataset.poses)
+
+        self.global_step = 0
+        self._build_step()
+
+        if hparams.ckpt_load:
+            self.load(hparams.ckpt_load)
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        h = self.hparams
+        model_cfg, render_cfg = self.model_cfg, self.render_cfg
+        loss_cfg = self.loss_cfg
+        tx = self.tx
+        use_embed_a = h.embed_a
+        use_msk = h.embed_msk
+        use_ext = h.optimize_ext
+        random_bg = h.random_bg
+        N_imgs = self.N_imgs
+        img_w, img_h = self.img_wh
+        warmup = self.WARMUP_STEPS
+
+        def step_fn(params, opt_state, bitfield, directions, poses,
+                    batch, step, key):
+            def loss_fn(p):
+                dirs = directions[batch["pix_idxs"]]
+                pose = poses[batch["img_idxs"]]
+                if use_ext:  # pose refinement (train.py:144-149)
+                    dR = axisangle_to_R(p["ext"]["dR"][batch["img_idxs"]])
+                    R = jnp.matmul(dR, pose[..., :3],
+                                   precision=jax.lax.Precision.HIGHEST)
+                    t = pose[..., 3] + p["ext"]["dT"][batch["img_idxs"]]
+                    pose_ = jnp.concatenate([R, t[..., None]], -1)
+                else:
+                    pose_ = pose
+                rays_o, rays_d = get_rays(dirs, pose_)
+
+                emb = p["embedding_a"][batch["img_idxs"]] \
+                    if use_embed_a else None
+                k_noise, k_bg = jax.random.split(key)
+                noise = jax.random.uniform(k_noise, rays_o.shape[:1])
+                bg = jax.random.uniform(k_bg, (3,)) if random_bg else None
+                gate = (step >= warmup).astype(jnp.float32)
+
+                results = render_rays(
+                    model_cfg, render_cfg, p["model"], bitfield,
+                    rays_o, rays_d, noise, embedding_a=emb,
+                    exposure=batch.get("exposure"), bg_color=bg,
+                    skybox_gate=gate)
+
+                mask = None
+                if use_msk:  # train.py:280-288 (uvi shifted into [0,1])
+                    uv = batch["uv"]
+                    uvi = jnp.stack([
+                        uv[:, 0] / img_h,
+                        uv[:, 1] / img_w,
+                        batch["img_idxs"].astype(jnp.float32) / N_imgs,
+                    ], -1)
+                    mask = mask_apply(p["msk"], uvi)
+
+                loss_d = compute_losses(loss_cfg, results, batch,
+                                        step=step, mask=mask)
+                loss = total_loss(loss_d)
+                aux = {
+                    "loss": loss,
+                    "psnr": psnr(results["rgb"], batch["rgb"]),
+                    "s_per_ray": results["total_samples"]
+                    / batch["rgb"].shape[0],
+                    "loss_terms": {k: jnp.mean(v)
+                                   for k, v in loss_d.items()},
+                }
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, aux
+
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_step
+            self.train_step = shard_step(step_fn, self.mesh)
+        else:
+            self.train_step = jax.jit(step_fn, donate_argnums=(0, 1))
+
+        density_fn = partial(ngp_sigma, self.model_cfg)
+        grid_size, cascades, scale = (self.model_cfg.grid_size,
+                                      self.model_cfg.cascades,
+                                      self.model_cfg.scale)
+        erode = h.dataset_name == "colmap"  # train.py:275
+
+        def grid_update(params, grid, key, warmup_flag):
+            return update_density_grid(
+                density_fn, params, grid, key,
+                h.density_threshold * MAX_SAMPLES / np.sqrt(3),
+                grid_size, cascades, scale, warmup_flag, erode=erode)
+
+        self._grid_update = grid_update
+
+    # ------------------------------------------------------------------
+    def maybe_update_grid(self):
+        if self.global_step % self.UPDATE_INTERVAL == 0:
+            self.grid = self._grid_update(
+                self.params["model"], self.grid,
+                jax.random.PRNGKey(self.global_step),
+                self.global_step < self.WARMUP_STEPS)
+
+    def training_step(self, batch, rng_key=None):
+        """One optimization step on a host batch dict (train.py:268-345)."""
+        self.maybe_update_grid()
+        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if k in ("img_idxs", "pix_idxs", "uv", "rgb", "label",
+                              "depth", "normal", "exposure")}
+        key = rng_key if rng_key is not None \
+            else jax.random.PRNGKey(self.global_step + 1)
+        self.params, self.opt_state, aux = self.train_step(
+            self.params, self.opt_state, self.grid["bitfield"],
+            self.directions, self.poses, dev_batch,
+            jnp.int32(self.global_step), key)
+        self.global_step += 1
+        return aux
+
+    # ------------------------------------------------------------------
+    def render_image(self, pose, chunk_size=None, embedding=None):
+        """Chunked whole-image test render (train.py:177-190)."""
+        chunk = chunk_size or self.hparams.chunk_size
+        pose = jnp.asarray(pose)
+        rays_o, rays_d = get_rays(self.directions, pose)
+        n = rays_o.shape[0]
+        if self.hparams.embed_a:
+            if embedding is None:
+                embedding = self.params["embedding_a"][0:1]  # train.py:154
+            emb_full = jnp.broadcast_to(embedding, (n, embedding.shape[-1]))
+        outs = []
+        for i in range(0, n, chunk):
+            sl = slice(i, min(i + chunk, n))
+            ro, rd = rays_o[sl], rays_d[sl]
+            pad = 0
+            if ro.shape[0] < chunk and i > 0:
+                pad = chunk - ro.shape[0]  # keep shapes static
+                ro = jnp.concatenate([ro, ro[-1:].repeat(pad, 0)])
+                rd = jnp.concatenate([rd, rd[-1:].repeat(pad, 0)])
+            emb = emb_full[sl] if self.hparams.embed_a else None
+            if emb is not None and pad:
+                emb = jnp.concatenate([emb, emb[-1:].repeat(pad, 0)])
+            res = render_rays_test(self.model_cfg, self.render_cfg_test,
+                                   self.params["model"],
+                                   self.grid["bitfield"], ro, rd,
+                                   embedding_a=emb)
+            if pad:
+                res = {k: v[:-pad] if hasattr(v, "shape") and v.ndim >= 1
+                       and v.shape[0] == chunk else v
+                       for k, v in res.items()}
+            outs.append(res)
+        merged = {}
+        for k in outs[0]:
+            if k == "total_samples":
+                merged[k] = sum(int(o[k]) for o in outs)
+            else:
+                merged[k] = jnp.concatenate([o[k] for o in outs], 0)
+        return merged
+
+    def validate(self, max_images=None):
+        """PSNR/SSIM over the test split (validation_step,
+        train.py:353-392)."""
+        w, h = self.test_dataset.img_wh
+        psnrs, ssims = [], []
+        n = len(self.test_dataset.poses)
+        if max_images:
+            n = min(n, max_images)
+        for i in range(n):
+            item = self.test_dataset.test_item(i)
+            res = self.render_image(item["pose"])
+            pred = jnp.clip(res["rgb"], 0, 1).reshape(h, w, 3)
+            gt = jnp.asarray(item["rgb"]).reshape(h, w, 3)
+            psnrs.append(float(psnr(pred, gt)))
+            ssims.append(float(ssim(pred, gt)))
+        return {"psnr": float(np.mean(psnrs)),
+                "ssim": float(np.mean(ssims))}
+
+    # ------------------------------------------------------------------
+    def fit(self, log_every=100, ckpt_dir=None, rng=None,
+            on_step=None):
+        """Full training loop (Trainer.fit equivalent)."""
+        h = self.hparams
+        rng = rng or np.random.default_rng(h.seed)
+        total_steps = (h.num_epochs + h.normal_epochs) * h.steps_per_epoch
+        t0 = time.time()
+        rays_done = 0
+        for step in range(self.global_step, total_steps):
+            batch = self.train_dataset.sample_batch(rng)
+            aux = self.training_step(batch)
+            rays_done += h.batch_size
+            if on_step is not None:
+                on_step(step, aux)
+            if log_every and (step % log_every == 0):
+                dt = time.time() - t0
+                print(f"step {step:6d} loss {float(aux['loss']):.5f} "
+                      f"psnr {float(aux['psnr']):.2f} "
+                      f"s/ray {float(aux['s_per_ray']):.1f} "
+                      f"rays/s {rays_done / max(dt, 1e-9):,.0f}")
+            if ckpt_dir and (step + 1) % h.steps_per_epoch == 0:
+                self.save(os.path.join(ckpt_dir, "last"))
+        if ckpt_dir:
+            self.save(os.path.join(ckpt_dir, "last"))
+            save_ckpt(os.path.join(ckpt_dir, "last_slim"),
+                      slim_state(self.state()))
+        return self
+
+    # ------------------------------------------------------------------
+    def state(self):
+        return {"params": self.params, "opt_state": self.opt_state,
+                "grid": self.grid, "step": self.global_step}
+
+    def save(self, path):
+        save_ckpt(path, self.state())
+
+    def load(self, path):
+        state = load_ckpt(path)
+        # prefix-filtered warm start (utils.py:7-29): tolerate slim ckpts
+        params = state["params"]
+        for k in list(self.params.keys()):
+            if k in params:
+                self.params[k] = jax.tree.map(jnp.asarray, params[k])
+        if "opt_state" in state:
+            try:
+                self.opt_state = jax.tree.map(
+                    jnp.asarray, state["opt_state"],
+                    is_leaf=lambda x: not isinstance(x, (dict, list, tuple)))
+            except Exception:
+                pass  # slim ckpt: keep fresh optimizer
+        if "grid" in state:
+            self.grid = jax.tree.map(jnp.asarray, state["grid"])
+        self.global_step = int(state.get("step", 0))

@@ -6,7 +6,8 @@ import jax.numpy as jnp
 
 from ingp_tpu.core import ray_aabb_intersect
 from ingp_tpu.ops import packbits_u32
-from ingp_tpu.ops.march import MarchConfig, march_rays, sample_positions
+from ingp_tpu.ops.march import (MarchConfig, march_rays,
+                                march_rays_lattice, sample_positions)
 from ingp_tpu.ops.composite import (
     composite_rays, distortion_loss, ref_loss, render_weights,
 )
@@ -106,6 +107,100 @@ def test_march_matches_scalar_oracle():
     assert any_hit  # the test scene must actually produce samples
 
 
+def test_lattice_march_equals_scan_march_synthetic():
+    # exp_step_factor=0: the lattice formulation must match the scan
+    # marcher exactly (same dt lattice, same occupancy tests)
+    cfg = MarchConfig(grid_size=32, cascades=1, scale=0.5,
+                      exp_step_factor=0.0, max_samples=256,
+                      capacity=64, iters=512)
+    dense, bf = _make_grid(
+        cfg, lambda x, y, z: x ** 2 + y ** 2 + z ** 2 < 0.25 ** 2)
+    rng = np.random.default_rng(1)
+    R = 64
+    ro = np.stack([rng.uniform(-0.3, 0.3, R), rng.uniform(-0.3, 0.3, R),
+                   np.full(R, -2.0)], -1).astype(np.float32)
+    rd = np.stack([rng.uniform(-0.2, 0.2, R), rng.uniform(-0.2, 0.2, R),
+                   np.ones(R)], -1).astype(np.float32)
+    noise = rng.random(R).astype(np.float32)
+    hits = ray_aabb_intersect(jnp.asarray(ro), jnp.asarray(rd),
+                              jnp.zeros(3), jnp.full(3, cfg.scale))
+    a = march_rays(cfg, bf, jnp.asarray(ro), jnp.asarray(rd), hits,
+                   jnp.asarray(noise))
+    b = march_rays_lattice(cfg, bf, jnp.asarray(ro), jnp.asarray(rd),
+                           hits, jnp.asarray(noise))
+    np.testing.assert_array_equal(np.asarray(a["n_samples"]),
+                                  np.asarray(b["n_samples"]))
+    np.testing.assert_allclose(np.asarray(a["ts"]), np.asarray(b["ts"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a["deltas"]),
+                               np.asarray(b["deltas"]), rtol=1e-5)
+
+
+def _oracle_march_exact(occ_dense, ro, rd, t1, t2, cfg, noise):
+    """Like _oracle_march but with the reference's exact skip: the
+    do/while re-evaluates calc_dt at every sub-step
+    (raymarching.cu:230-233) — i.e. all visited t lie on the dt lattice."""
+    gs, C, scale = cfg.grid_size, cfg.cascades, cfg.scale
+    f, S = cfg.exp_step_factor, cfg.capacity
+
+    def calc_dt(t):
+        return np.clip(t * f, SQRT3 / cfg.max_samples,
+                       SQRT3 * 2 * scale / gs)
+
+    out = []
+    if t1 < 0:
+        return out
+    t = t1 + calc_dt(t1) * noise
+    it = 0
+    while 0 <= t < t2 and len(out) < S and it < cfg.iters:
+        it += 1
+        x = ro + t * rd
+        dt = calc_dt(t)
+        mx = np.max(np.abs(x))
+        m1 = np.clip(np.frexp(mx)[1] + 1, 0, C - 1)
+        m2 = np.clip(np.frexp(dt * gs)[1], 0, C - 1)
+        mip = max(m1, m2)
+        bound = min(2.0 ** (mip - 1), scale)
+        n = np.clip(0.5 * (x / bound + 1) * gs, 0, gs - 1).astype(int)
+        if occ_dense[mip, n[2], n[1], n[0]]:
+            out.append((t, dt))
+        t = t + dt  # exact lattice advance, occupied or not
+    return out
+
+
+def test_lattice_march_matches_exact_oracle_exponential():
+    # exp_step_factor>0: the closed-form lattice must reproduce the
+    # reference's exact skip semantics (dt re-evaluated each sub-step)
+    cfg = MarchConfig(grid_size=32, cascades=2, scale=1.0,
+                      exp_step_factor=1 / 64, max_samples=512,
+                      capacity=96, iters=1024)
+    dense, bf = _make_grid(
+        cfg, lambda x, y, z: (np.abs(x) < 0.6) & (np.abs(y) < 0.6)
+        & (np.abs(z) < 0.6))
+    rng = np.random.default_rng(2)
+    R = 32
+    ro = np.stack([rng.uniform(-0.2, 0.2, R), rng.uniform(-0.2, 0.2, R),
+                   np.full(R, -3.0)], -1).astype(np.float32)
+    rd = np.stack([rng.uniform(-0.1, 0.1, R), rng.uniform(-0.1, 0.1, R),
+                   np.ones(R)], -1).astype(np.float32)
+    noise = rng.random(R).astype(np.float32)
+    hits = ray_aabb_intersect(jnp.asarray(ro), jnp.asarray(rd),
+                              jnp.zeros(3), jnp.full(3, cfg.scale))
+    b = march_rays_lattice(cfg, bf, jnp.asarray(ro), jnp.asarray(rd),
+                           hits, jnp.asarray(noise))
+    hits_np = np.asarray(hits)
+    nb = np.asarray(b["ts"])
+    for r in range(R):
+        want = _oracle_march_exact(dense, ro[r], rd[r], hits_np[r, 0],
+                                   hits_np[r, 1], cfg, noise[r])
+        n = int(np.asarray(b["n_samples"])[r])
+        # closed-form boundary rounding may differ by one lattice point
+        assert abs(n - len(want)) <= 1, f"ray {r}: {n} vs {len(want)}"
+        for s in range(min(n, len(want))):
+            np.testing.assert_allclose(nb[r, s], want[s][0], rtol=2e-4,
+                                       atol=1e-5)
+
+
 def test_march_samples_inside_occupied_cells():
     cfg = MarchConfig(grid_size=32, cascades=2, scale=1.0,
                       exp_step_factor=1 / 64, max_samples=256,
@@ -195,15 +290,20 @@ def test_composite_grads_match_analytic_dl_dsigma():
 
     g = np.asarray(jax.grad(loss)(sig))
 
-    # closed form: dL/dsigma_s = delta_s * sum_c dL_c*(rgb_sc*T_s+... )
+    # closed form of volumerendering.cu:234-241: the kernel updates
+    # T *= (1-a) BEFORE the gradient line, so the formula uses the
+    # transmittance AFTER sample s and the inclusive rgb prefix sum:
+    # dL/dsigma_s = delta_s * sum_c dL_c*(rgb_sc*T_{s+1} - (C_c - csum_sc))
     sig_n, rgb_n, dt_n = map(np.asarray, (sig, rgb, dt))
     a = 1 - np.exp(-sig_n * dt_n)
-    T = np.cumprod(1 - a, 1) / (1 - a)  # T before each sample
-    w = a * T
+    T_before = np.cumprod(1 - a, 1) / (1 - a)
+    T_after = np.cumprod(1 - a, 1)
+    w = a * T_before
     C = (w[..., None] * rgb_n).sum(1)  # total rgb per ray
     csum = np.cumsum(w[..., None] * rgb_n, 1)
     want = dt_n * np.einsum("rc,rsc->rs", np.asarray(dL_drgb),
-                            rgb_n * T[..., None] - (C[:, None] - csum))
+                            rgb_n * T_after[..., None]
+                            - (C[:, None] - csum))
     np.testing.assert_allclose(g, want, rtol=1e-3, atol=1e-5)
 
 

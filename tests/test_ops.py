@@ -38,12 +38,12 @@ def test_hashgrid_dense_level_exact_trilerp():
     assert not cfg.hashed[0]
     res = cfg.resolutions[0]
     rng = np.random.default_rng(0)
-    table = np.zeros((cfg.total_rows, 2), np.float32)
+    table = np.zeros((2, cfg.total_rows), np.float32)  # feature-major
     dense = rng.normal(size=(res, res, res, 2)).astype(np.float32)
     for z in range(res):
         for y in range(res):
             for xi in range(res):
-                table[(z * res + y) * res + xi] = dense[xi, y, z]
+                table[:, (z * res + y) * res + xi] = dense[xi, y, z]
     x = rng.random((20, 3)).astype(np.float32)
 
     f = np.asarray(hashgrid_encode(cfg, jnp.asarray(table), jnp.asarray(x)))
@@ -71,14 +71,14 @@ def test_hashgrid_table_grad_finite_difference():
         return jnp.sum(jnp.sin(hashgrid_encode(cfg, t, x)))
 
     g = jax.grad(loss)(table)
-    # check a few touched rows by finite differences
-    touched = np.nonzero(np.abs(np.asarray(g)).sum(-1))[0][:5]
+    # check a few touched rows by finite differences (feature-major)
+    touched = np.nonzero(np.abs(np.asarray(g)).sum(0))[0][:5]
     eps = 1e-3
     for r in touched:
-        t1 = table.at[r, 0].add(eps)
-        t2 = table.at[r, 0].add(-eps)
+        t1 = table.at[0, r].add(eps)
+        t2 = table.at[0, r].add(-eps)
         fd = (loss(t1) - loss(t2)) / (2 * eps)
-        np.testing.assert_allclose(float(g[r, 0]), float(fd), atol=1e-2)
+        np.testing.assert_allclose(float(g[0, r]), float(fd), atol=1e-2)
 
 
 def test_hashgrid_input_grad_matches_fd():
