@@ -89,7 +89,7 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"])
     parser.add_argument("--capacity", type=int, default=192,
                         help="per-ray sample slots S")
-    parser.add_argument("--march_iters", type=int, default=640)
+    parser.add_argument("--march_iters", type=int, default=1024)
     parser.add_argument("--samples_per_ray", type=int, default=48,
                         help="network batch budget K/R")
     parser.add_argument("--seed", type=int, default=20220806)  # train.py:402

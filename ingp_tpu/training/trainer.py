@@ -186,10 +186,14 @@ class NeRFSystem:
         use_embed_a = h.embed_a
         use_msk = h.embed_msk
         use_ext = h.optimize_ext
+        use_exposure = h.use_exposure
         random_bg = h.random_bg
         N_imgs = self.N_imgs
         img_w, img_h = self.img_wh
         warmup = self.WARMUP_STEPS
+        # HDR-NeRF unit-exposure anchor (train.py:301-306)
+        unit_exposure_rgb = getattr(self.train_dataset,
+                                    "unit_exposure_rgb", None)
 
         def step_fn(params, opt_state, bitfield, directions, poses,
                     batch, step, key):
@@ -231,6 +235,13 @@ class NeRFSystem:
 
                 loss_d = compute_losses(loss_cfg, results, batch,
                                         step=step, mask=mask)
+                if use_exposure and unit_exposure_rgb is not None:
+                    from ..models.ngp import log_radiance_to_rgb
+                    unit_rgb = log_radiance_to_rgb(
+                        model_cfg, p["model"], jnp.zeros((1, 3)),
+                        exposure=jnp.ones((1, 1)))
+                    loss_d["unit_exposure"] = \
+                        0.5 * (unit_rgb - unit_exposure_rgb) ** 2
                 loss = total_loss(loss_d)
                 aux = {
                     "loss": loss,
@@ -351,32 +362,105 @@ class NeRFSystem:
 
     # ------------------------------------------------------------------
     def fit(self, log_every=100, ckpt_dir=None, rng=None,
-            on_step=None):
-        """Full training loop (Trainer.fit equivalent)."""
+            on_step=None, use_native_loader=None):
+        """Full training loop (Trainer.fit equivalent).
+
+        use_native_loader: None = auto — use the C++ background-prefetch
+        sampler (native/loader.py) when the toolchain is available,
+        falling back to the NumPy sampler.
+        """
         h = self.hparams
         rng = rng or np.random.default_rng(h.seed)
         total_steps = (h.num_epochs + h.normal_epochs) * h.steps_per_epoch
+
+        native = None
+        if use_native_loader is not False:
+            try:
+                from ..native import NativeBatchSampler, native_available
+                if native_available():
+                    native = NativeBatchSampler(
+                        self.train_dataset, h.batch_size, seed=h.seed,
+                        strategy=h.ray_sampling_strategy)
+            except Exception as e:
+                if use_native_loader:
+                    raise
+                print(f"native loader unavailable ({e}); numpy sampler")
+
+        metrics_log = None
+        if ckpt_dir:
+            os.makedirs(ckpt_dir, exist_ok=True)
+            metrics_log = open(os.path.join(ckpt_dir, "metrics.jsonl"),
+                               "a")
+        profile_dir = getattr(h, "profile_dir", None)
+
         t0 = time.time()
         rays_done = 0
         for step in range(self.global_step, total_steps):
-            batch = self.train_dataset.sample_batch(rng)
+            if profile_dir and step == self.global_step + 20:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and step == self.global_step + 30:
+                jax.profiler.stop_trace()
+            batch = native.next_batch() if native is not None \
+                else self.train_dataset.sample_batch(rng)
             aux = self.training_step(batch)
             rays_done += h.batch_size
             if on_step is not None:
                 on_step(step, aux)
             if log_every and (step % log_every == 0):
                 dt = time.time() - t0
+                rays_s = rays_done / max(dt, 1e-9)
                 print(f"step {step:6d} loss {float(aux['loss']):.5f} "
                       f"psnr {float(aux['psnr']):.2f} "
                       f"s/ray {float(aux['s_per_ray']):.1f} "
-                      f"rays/s {rays_done / max(dt, 1e-9):,.0f}")
+                      f"rays/s {rays_s:,.0f}")
+                if metrics_log:
+                    import json
+                    metrics_log.write(json.dumps({
+                        "step": step, "loss": float(aux["loss"]),
+                        "train/psnr": float(aux["psnr"]),
+                        "train/s_per_ray": float(aux["s_per_ray"]),
+                        "train/rays_per_s": rays_s,
+                        "lr": float(self.lr_schedule(step)),
+                    }) + "\n")
+                    metrics_log.flush()
+            if ckpt_dir and step > 0 and step % 10000 == 0:
+                self._dump_val_images(ckpt_dir, step)
             if ckpt_dir and (step + 1) % h.steps_per_epoch == 0:
                 self.save(os.path.join(ckpt_dir, "last"))
+        if native is not None:
+            native.close()
         if ckpt_dir:
             self.save(os.path.join(ckpt_dir, "last"))
             save_ckpt(os.path.join(ckpt_dir, "last_slim"),
                       slim_state(self.state()))
         return self
+
+    def _dump_val_images(self, ckpt_dir, step):
+        """Every-10k-step qualitative dump (train.py:316-343)."""
+        from ..utils.vis import (depth2img, semantic2img, save_image,
+                                 convert_normal)
+        w, h = self.test_dataset.img_wh
+        item = self.test_dataset.test_item(0)
+        res = self.render_image(item["pose"])
+        img_dir = os.path.join(ckpt_dir, "val")
+        os.makedirs(img_dir, exist_ok=True)
+        rgb = np.clip(np.asarray(res["rgb"]).reshape(h, w, 3), 0, 1)
+        save_image(rgb, os.path.join(img_dir, f"{step:05d}_rgb.png"))
+        depth = depth2img(np.asarray(res["depth"]).reshape(h, w),
+                          scale=2 * self.hparams.scale)[..., ::-1]
+        save_image(depth / 255.0,
+                   os.path.join(img_dir, f"{step:05d}_depth.png"))
+        for key in ("normal_pred", "normal_raw"):
+            nrm = convert_normal(
+                np.asarray(res[key]).reshape(h, w, 3), item["pose"])
+            save_image(np.clip((nrm + 1) / 2, 0, 1), os.path.join(
+                img_dir,
+                f"{step:05d}_{key.replace('_pred', '')}.png"))
+        if self.hparams.render_semantic:
+            sem = semantic2img(np.asarray(res["semantic"]).reshape(h, w),
+                               self.hparams.num_classes)[..., ::-1]
+            save_image(sem / 255.0, os.path.join(
+                img_dir, f"{step:05d}_semantic.png"))
 
     # ------------------------------------------------------------------
     def state(self):

@@ -162,6 +162,40 @@ def test_trunc_tanh():
 
 
 # ---------------------------------------------------------------------------
+# ref_util (reflection + integrated directional encoding)
+# ---------------------------------------------------------------------------
+
+def test_reflect():
+    from ingp_tpu.ops.ref_util import reflect
+    v = jnp.array([[1.0, 1.0, 0.0]]) / np.sqrt(2)
+    n = jnp.array([[0.0, 1.0, 0.0]])
+    u = reflect(v, n)
+    # mirror about the normal: x flips, y preserved
+    np.testing.assert_allclose(np.asarray(u), [[-v[0, 0], v[0, 1], 0.0]],
+                               atol=1e-6)
+
+
+def test_ide_kappa_limits():
+    from ingp_tpu.ops.ref_util import generate_ide_fn
+    fn = generate_ide_fn(2)
+    d = jnp.array([[0.6, 0.0, 0.8]])
+    sharp = fn(d, jnp.array([[0.0]]))    # kappa_inv=0: plain SH
+    blurred = fn(d, jnp.array([[10.0]]))  # high roughness attenuates
+    assert np.all(np.isfinite(np.asarray(sharp)))
+    # non-constant components shrink with roughness
+    assert np.abs(np.asarray(blurred))[0, 1:].sum() < \
+        np.abs(np.asarray(sharp))[0, 1:].sum()
+
+
+def test_guided_filter_identity_on_constant():
+    from ingp_tpu.utils.filters import box_filter, guided_filter
+    img = np.full((16, 16), 0.7, np.float32)
+    np.testing.assert_allclose(box_filter(img, 2), 0.7, atol=1e-6)
+    out = guided_filter(img, img, r=2, eps=0.1)
+    np.testing.assert_allclose(out, 0.7, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # packing
 # ---------------------------------------------------------------------------
 
