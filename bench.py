@@ -52,14 +52,18 @@ def main():
     for _ in range(STEPS_WARMUP):
         system.training_step(tr.sample_batch(rng, BATCH))
     for _ in range(16):  # converge grid a bit so s/ray is realistic
-        system.training_step(tr.sample_batch(rng, BATCH))
-    jax.block_until_ready(system.params)
+        aux = system.training_step(tr.sample_batch(rng, BATCH))
+    # force materialization: a host copy cannot lie about completion
+    # (block_until_ready alone is unreliable through the axon tunnel)
+    float(aux["loss"])
 
     batches = [tr.sample_batch(rng, BATCH) for _ in range(STEPS_MEASURE)]
     t0 = time.perf_counter()
     for b in batches:
         aux = system.training_step(b)
-    jax.block_until_ready((system.params, aux))
+    # the final loss depends on every preceding step's params, so one
+    # host copy forces the entire chain
+    float(aux["loss"])
     dt = time.perf_counter() - t0
 
     rays_per_s = STEPS_MEASURE * BATCH / dt

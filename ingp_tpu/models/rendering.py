@@ -169,12 +169,17 @@ def render_rays_test(model_cfg: NGPConfig, render_cfg: RenderConfig,
                      exposure=None):
     """Inference rendering (no noise, no loss terms, normalized outputs).
 
+    TPU form of the reference's early ray termination (the alive-ray
+    loop of rendering.py:75-124): a cheap sigma-only prepass computes
+    per-sample transmittance, and only samples with T > T_threshold are
+    compacted into the full network batch — dead samples cost zero
+    rgb/header work, like rays the reference stops marching.
+
     Matches __render_rays_test post-processing (rendering.py:173-185):
     normal outputs re-normalized, semantics argmaxed, hit points returned.
     """
-    res = render_rays(model_cfg, render_cfg, params, bitfield, rays_o,
-                      rays_d, jnp.zeros(rays_o.shape[0]),
-                      embedding_a=embedding_a, exposure=exposure)
+    res = _render_rays_test_inner(model_cfg, render_cfg, params, bitfield,
+                                  rays_o, rays_d, embedding_a, exposure)
 
     def norm(v):
         return v / jnp.maximum(
@@ -192,3 +197,69 @@ def render_rays_test(model_cfg: NGPConfig, render_cfg: RenderConfig,
         "points": rays_o + rays_d * res["depth"][:, None],
     }
     return out
+
+
+def _render_rays_test_inner(model_cfg, render_cfg, params, bitfield,
+                            rays_o, rays_d, embedding_a, exposure):
+    from ..ops.composite import render_weights
+    from .ngp import ngp_sigma
+
+    R = rays_o.shape[0]
+    S = render_cfg.capacity
+    K = R * render_cfg.samples_per_ray
+
+    hits_t = clamp_near(ray_aabb_intersect(
+        rays_o, rays_d, jnp.zeros(3), jnp.full((3,), model_cfg.scale)))
+    march = march_rays_lattice(render_cfg.march_cfg(model_cfg), bitfield,
+                               rays_o, rays_d, hits_t,
+                               jnp.zeros(R))
+    ts, deltas, valid = march["ts"], march["deltas"], march["valid"]
+
+    # ---- phase 1: sigma-only prepass on every occupied sample --------
+    src, slot_valid, _ = compact_samples(valid, K)
+    rids = ray_ids_for(src, R)
+    t_k = gather_samples(ts, src)
+    xyz_k = rays_o[rids] + t_k[:, None] * rays_d[rids]
+    sig_k = jnp.where(~slot_valid, 0.0,
+                      ngp_sigma(model_cfg, params, xyz_k))
+    sigmas = scatter_back(sig_k, src, R, S)
+    valid_k = scatter_back(slot_valid.astype(jnp.float32), src, R, S) > 0
+
+    # ---- early termination: keep only samples the reference's alive
+    # loop would still be marching (T above threshold) -----------------
+    ws, Ts = render_weights(sigmas, deltas, valid_k,
+                            render_cfg.T_threshold)
+    visible = valid_k & (Ts > render_cfg.T_threshold)
+
+    # ---- phase 2: full forward on visible samples only ---------------
+    src2, slot_valid2, _ = compact_samples(visible, K)
+    rids2 = ray_ids_for(src2, R)
+    t_k2 = gather_samples(ts, src2)
+    xyz2 = rays_o[rids2] + t_k2[:, None] * rays_d[rids2]
+    dir2 = rays_d[rids2]
+    emb2 = embedding_a[rids2] if embedding_a is not None else None
+    _, rgbs_k, nraw_k, npred_k, sems_k = ngp_forward(
+        model_cfg, params, xyz2, dir2, embedding_a=emb2,
+        exposure=exposure, stop_header_grads=True)
+    pad2 = ~slot_valid2
+    rgbs = scatter_back(jnp.where(pad2[:, None], 0.0, rgbs_k), src2, R, S)
+    npred = scatter_back(jnp.where(pad2[:, None], 0.0, npred_k),
+                         src2, R, S)
+    nraw = scatter_back(jnp.where(pad2[:, None], 0.0, nraw_k), src2, R, S)
+    sems = scatter_back(jnp.where(pad2[:, None], 0.0, sems_k), src2, R, S)
+
+    results = composite_rays(sigmas, rgbs, deltas, ts, visible,
+                             render_cfg.T_threshold,
+                             normals_pred=npred, normals_raw=nraw,
+                             sems=sems)
+    results["total_samples"] = march["total_samples"]
+
+    if render_cfg.use_skybox:
+        rgb_bg = ngp_forward_skybox(model_cfg, params, rays_d)
+    else:
+        rgb_bg = jnp.zeros((R, 3))
+    results["rgb"] = results["rgb"] \
+        + rgb_bg * (1.0 - results["opacity"][:, None])
+    return results
+
+

@@ -84,6 +84,11 @@ def render_for_test(hparams, split="test", system=None):
         if getattr(hparams, "render_traj", False) else None
     n_frames = len(traj) if traj is not None else len(dataset.poses)
 
+    # anti-aliasing: directions were upscaled by the loader
+    # (ray_utils.py:8-47); render at high res, then resize down
+    aa = getattr(hparams, "anti_aliasing_factor", 1.0)
+    rh, rw = int(h * aa), int(w * aa)
+
     frames = {"rgb": [], "depth": [], "normal": [], "semantic": []}
     for i in range(n_frames):
         if traj is not None:
@@ -103,6 +108,18 @@ def render_for_test(hparams, split="test", system=None):
         res = render_chunks(model_cfg, render_cfg, params, bitfield,
                             np.asarray(rays_o), np.asarray(rays_d),
                             hparams.chunk_size, embedding_a=emb)
+
+        if aa > 1.0:
+            import cv2
+            for k in ("rgb", "depth", "normal_pred", "semantic"):
+                if k in res:
+                    img = res[k].reshape(
+                        (rh, rw) + res[k].shape[1:]).astype(np.float32)
+                    interp = cv2.INTER_NEAREST if k == "semantic" \
+                        else cv2.INTER_AREA
+                    res[k] = cv2.resize(img, (w, h),
+                                        interpolation=interp
+                                        ).reshape(h * w, -1).squeeze()
 
         rgb = np.clip(res["rgb"].reshape(h, w, 3), 0, 1)
         if getattr(hparams, "render_rgb", True):
