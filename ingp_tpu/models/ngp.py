@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.hashgrid import (
-    HashGridConfig, hashgrid_init, hashgrid_encode, per_level_scale_for,
+    HashGridConfig, hashgrid_init, hashgrid_encode, hashgrid_encode_grad,
+    per_level_scale_for,
 )
 from ..ops.sh import sh_encode
 from ..ops.activations import trunc_exp
@@ -141,10 +142,24 @@ def ngp_density(cfg: NGPConfig, params, x, return_feat=False):
 
 
 def ngp_grad(cfg: NGPConfig, params, x):
-    """(sigmas, feat_rgb, d sigma/dx) — networks.py:186-196. The returned
-    grads stay differentiable w.r.t. params (create_graph equivalent)."""
-    sigmas, vjp_fn = jax.vjp(lambda xx: ngp_sigma(cfg, params, xx), x)
-    grads = vjp_fn(jnp.ones_like(sigmas))[0]
+    """(sigmas, feat_rgb, d sigma/dx) — networks.py:186-196.
+
+    The spatial gradient uses the analytic trilerp jacobian computed in
+    the same gather pass as the features (ops/hashgrid.py
+    hashgrid_encode_grad) chained with a vjp through the tiny density
+    MLP — identical values to full AD (tested) at one fewer traversal
+    of the encoder graph. Everything stays differentiable w.r.t. params
+    (the reference's create_graph double backward)."""
+    u = _normalize_coords(cfg, x)
+    feats, jac = hashgrid_encode_grad(cfg.density_grid_cfg,
+                                      params["density_table"], u)
+    raw, mlp_vjp = jax.vjp(
+        lambda h: mlp_apply(params["xyz_net"], h, "softplus", "none",
+                            cfg.dtype)[:, 0], feats)
+    sigmas = jax.nn.softplus(raw)
+    dfeat = mlp_vjp(jax.nn.sigmoid(raw))[0]       # d softplus = sigmoid
+    # du/dx = 1/(2*scale) from _normalize_coords
+    grads = jnp.einsum("dnf,nf->nd", jac, dfeat) / (2.0 * cfg.scale)
     feat_rgb = ngp_rgb_feat(cfg, params, x)
     return sigmas, feat_rgb, grads
 

@@ -157,3 +157,72 @@ def hashgrid_encode(cfg: HashGridConfig, table: jnp.ndarray, x: jnp.ndarray):
 
     # (F, L, N) -> (N, L, F) level-major, one relayout at the end
     return jnp.transpose(acc, (2, 1, 0)).reshape(N, L * F)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def hashgrid_encode_grad(cfg: HashGridConfig, table: jnp.ndarray,
+                         x: jnp.ndarray):
+    """Encode positions AND the analytic spatial jacobian in one pass.
+
+    The derivative of trilinear interpolation w.r.t. position reuses the
+    same 8 gathered corner features with different (polynomial) weights,
+    so computing d(feat)/dx here costs zero extra HBM gathers — unlike
+    AD's vjp, which re-runs the interpolation graph. Used for the
+    density-normal path (normals_raw = -grad sigma, networks.py:186-196).
+
+    Returns:
+      feats: (N, L*F)
+      jac:   (3, N, L*F) with jac[d] = d feats / d x_d (x in [0,1]^3;
+             positions on the clamp boundary get zero derivative, the
+             exact subgradient of the clamped interpolation).
+    """
+    N = x.shape[0]
+    L, F = cfg.n_levels, cfg.n_features
+    scales = jnp.asarray(cfg.scales, dtype=jnp.float32)
+    res = jnp.asarray(cfg.resolutions, dtype=jnp.int32)
+    offsets = jnp.asarray(cfg.offsets, dtype=jnp.uint32)
+    hashed = jnp.asarray(cfg.hashed, dtype=jnp.bool_)
+
+    xT = x.astype(jnp.float32).T
+    pos = xT[:, None, :] * scales[None, :, None] + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    pos_grid = pos_grid.astype(jnp.int32)
+
+    res_b = res[None, :, None]
+    mask = jnp.uint32(cfg.hashmap_size - 1)
+
+    acc = jnp.zeros((F, L, N), jnp.float32)
+    dacc = jnp.zeros((3, F, L, N), jnp.float32)
+    for c in range(8):
+        bits = ((c & 1), ((c >> 1) & 1), ((c >> 2) & 1))
+        corner = jnp.clip(
+            pos_grid + jnp.asarray(bits, jnp.int32)[:, None, None],
+            0, res_b - 1)
+        cu = corner.astype(jnp.uint32)
+        h = (cu[0] * jnp.uint32(_PRIMES[0])
+             ^ cu[1] * jnp.uint32(_PRIMES[1])
+             ^ cu[2] * jnp.uint32(_PRIMES[2])) & mask
+        ru = res.astype(jnp.uint32)[:, None]
+        dense = (cu[2] * ru + cu[1]) * ru + cu[0]
+        rows = (jnp.where(hashed[:, None], h, dense)
+                + offsets[:, None]).astype(jnp.int32)
+
+        feats = jnp.take(table, rows.reshape(-1), axis=1
+                         ).reshape(F, L, N).astype(jnp.float32)
+        fb = jnp.asarray(bits, jnp.float32)[:, None, None]
+        per_dim = fb * frac + (1.0 - fb) * (1.0 - frac)      # (3, L, N)
+        w = jnp.prod(per_dim, axis=0)
+        acc = acc + feats * w[None]
+        # dw/dfrac_d = (2 b_d - 1) * prod_{e != d} per_dim_e
+        sgn = 2.0 * fb - 1.0                                  # (3, 1, 1)
+        for d in range(3):
+            others = per_dim[(d + 1) % 3] * per_dim[(d + 2) % 3]
+            dw = sgn[d] * others                              # (L, N)
+            dacc = dacc.at[d].add(feats * dw[None])
+
+    feats_out = jnp.transpose(acc, (2, 1, 0)).reshape(N, L * F)
+    # chain rule: dfrac/dx = scale_l (per level)
+    dacc = dacc * scales[None, None, :, None]
+    jac = jnp.transpose(dacc, (0, 3, 2, 1)).reshape(3, N, L * F)
+    return feats_out, jac

@@ -100,6 +100,23 @@ def test_hashgrid_input_grad_matches_fd():
                                    atol=1e-3)
 
 
+def test_hashgrid_encode_grad_matches_ad():
+    from ingp_tpu.ops.hashgrid import hashgrid_encode_grad
+    cfg = _small_cfg(n_levels=3)
+    table = hashgrid_init(jax.random.PRNGKey(1), cfg) * 100
+    x = jax.random.uniform(jax.random.PRNGKey(5), (7, 3),
+                           minval=0.05, maxval=0.95)
+    feats, jac = hashgrid_encode_grad(cfg, table, x)
+    np.testing.assert_allclose(np.asarray(feats),
+                               np.asarray(hashgrid_encode(cfg, table, x)),
+                               rtol=1e-5, atol=1e-6)
+    # jac vs AD jacobian of the encode
+    ad_jac = jax.jacfwd(lambda xx: hashgrid_encode(cfg, table, xx[None])
+                        [0])(x[0])                  # (LF, 3)
+    np.testing.assert_allclose(np.asarray(jac[:, 0, :]).T,
+                               np.asarray(ad_jac), rtol=1e-4, atol=1e-4)
+
+
 def test_hashgrid_grad_of_grad():
     # double backward through the encoder (needed for normals_raw = -grad
     # sigma and its gradient, networks.py:186-196)
