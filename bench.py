@@ -42,6 +42,7 @@ def main():
         render_semantic=False, chunk_size=131072, seed=0, ckpt_load=None,
         compute_dtype="bfloat16",
         capacity=128, march_iters=1024, samples_per_ray=24,
+        encoder="brick", table_dtype="float32",
     )
     tr = SyntheticDataset(split="train", img_size=256, n_train=16)
     te = SyntheticDataset(split="test", img_size=256, n_test=1)

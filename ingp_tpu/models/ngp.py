@@ -33,6 +33,9 @@ from ..ops.hashgrid import (
     HashGridConfig, hashgrid_init, hashgrid_encode, hashgrid_encode_grad,
     per_level_scale_for,
 )
+from ..ops.brickgrid import (
+    BrickGridConfig, brickgrid_init, brickgrid_encode,
+)
 from ..ops.sh import sh_encode
 from ..ops.activations import trunc_exp
 from ..core.cascade import n_cascades
@@ -59,6 +62,12 @@ class NGPConfig:
     sh_degree: int = 4
     skybox_sh_degree: int = 3
     compute_dtype: str = "float32"  # MLP matmul dtype ("bfloat16" on TPU)
+    # encoder backend: "hash" = tcnn-layout parity (8 corner gathers);
+    # "brick" = TPU-native brick-packed rows, ~8x fewer gather indices
+    # (ops/brickgrid.py; see PERF_NOTES.md for the measured rationale)
+    encoder: str = "hash"
+    table_dtype: str = "float32"    # feature tables ("bfloat16" halves
+    #                                 the gathered row bytes)
 
     @property
     def cascades(self) -> int:
@@ -83,6 +92,26 @@ class NGPConfig:
                 self.scale, self.rgb_L, self.base_res))
 
     @property
+    def density_brick_cfg(self) -> BrickGridConfig:
+        # log2T - 5 keeps parameter count comparable to the hash layout
+        # (27 lattice values per brick row vs 32 rows' worth of slots)
+        return BrickGridConfig(
+            n_levels=self.density_L, n_features=self.density_F,
+            log2_bricks=max(self.density_log2T - 5, 8),
+            base_resolution=self.base_res,
+            per_level_scale=per_level_scale_for(
+                self.scale, self.density_L, self.base_res))
+
+    @property
+    def rgb_brick_cfg(self) -> BrickGridConfig:
+        return BrickGridConfig(
+            n_levels=self.rgb_L, n_features=self.rgb_F,
+            log2_bricks=max(self.rgb_log2T - 5, 8),
+            base_resolution=self.base_res,
+            per_level_scale=per_level_scale_for(
+                self.scale, self.rgb_L, self.base_res))
+
+    @property
     def rgb_in_dim(self) -> int:
         d = self.sh_degree ** 2 + self.rgb_L * self.rgb_F
         return d + (self.embed_a_len if self.embed_a else 0)
@@ -94,11 +123,20 @@ class NGPConfig:
 
 def ngp_init(key, cfg: NGPConfig):
     keys = jax.random.split(key, 10)
+    tdt = jnp.dtype(cfg.table_dtype)
+    if cfg.encoder == "brick":
+        density_table = brickgrid_init(keys[0], cfg.density_brick_cfg,
+                                       dtype=tdt)
+        rgb_table = brickgrid_init(keys[2], cfg.rgb_brick_cfg, dtype=tdt)
+    else:
+        density_table = hashgrid_init(keys[0], cfg.density_grid_cfg,
+                                      dtype=tdt)
+        rgb_table = hashgrid_init(keys[2], cfg.rgb_grid_cfg, dtype=tdt)
     params = {
-        "density_table": hashgrid_init(keys[0], cfg.density_grid_cfg),
+        "density_table": density_table,
         "xyz_net": mlp_init(keys[1],
                             (cfg.density_grid_cfg.out_dim, 128, 1)),
-        "rgb_table": hashgrid_init(keys[2], cfg.rgb_grid_cfg),
+        "rgb_table": rgb_table,
         "rgb_net": mlp_init(keys[3], (cfg.rgb_in_dim, 128, 3)),
         "norm_net": mlp_init(keys[4], (cfg.rgb_grid_cfg.out_dim, 32, 3)),
         "sem_net": mlp_init(keys[5],
@@ -118,20 +156,34 @@ def _normalize_coords(cfg: NGPConfig, x):
     return (x + cfg.scale) / (2.0 * cfg.scale)
 
 
+def _encode_density(cfg: NGPConfig, params, u):
+    if cfg.encoder == "brick":
+        return brickgrid_encode(cfg.density_brick_cfg,
+                                params["density_table"], u)
+    return hashgrid_encode(cfg.density_grid_cfg,
+                           params["density_table"], u)
+
+
+def _encode_rgb(cfg: NGPConfig, params, u):
+    if cfg.encoder == "brick":
+        return brickgrid_encode(cfg.rgb_brick_cfg, params["rgb_table"], u)
+    return hashgrid_encode(cfg.rgb_grid_cfg, params["rgb_table"], u)
+
+
 def ngp_sigma(cfg: NGPConfig, params, x):
-    """Density only: hash-enc -> 128 Softplus MLP -> Softplus sigma
+    """Density only: grid-enc -> 128 Softplus MLP -> Softplus sigma
     (networks.py:165-184). x: (N, 3) world coords. Returns (N,)."""
     u = _normalize_coords(cfg, x)
-    h = hashgrid_encode(cfg.density_grid_cfg, params["density_table"], u)
+    h = _encode_density(cfg, params, u)
     raw = mlp_apply(params["xyz_net"], h, "softplus", "none",
                     cfg.dtype)[:, 0]
     return jax.nn.softplus(raw)
 
 
 def ngp_rgb_feat(cfg: NGPConfig, params, x):
-    """RGB hash-grid features at world coords (networks.py:182)."""
+    """RGB grid features at world coords (networks.py:182)."""
     u = _normalize_coords(cfg, x)
-    return hashgrid_encode(cfg.rgb_grid_cfg, params["rgb_table"], u)
+    return _encode_rgb(cfg, params, u)
 
 
 def ngp_density(cfg: NGPConfig, params, x, return_feat=False):
@@ -150,6 +202,12 @@ def ngp_grad(cfg: NGPConfig, params, x):
     MLP — identical values to full AD (tested) at one fewer traversal
     of the encoder graph. Everything stays differentiable w.r.t. params
     (the reference's create_graph double backward)."""
+    if cfg.encoder == "brick":
+        # brick encoder: reverse-mode through the encode (analytic
+        # jacobian variant pending)
+        sigmas, vjp_fn = jax.vjp(lambda xx: ngp_sigma(cfg, params, xx), x)
+        grads = vjp_fn(jnp.ones_like(sigmas))[0]
+        return sigmas, ngp_rgb_feat(cfg, params, x), grads
     u = _normalize_coords(cfg, x)
     feats, jac = hashgrid_encode_grad(cfg.density_grid_cfg,
                                       params["density_table"], u)

@@ -1,0 +1,201 @@
+"""Brick-packed multiresolution grid encoder — the TPU-native redesign
+of the hash-grid encoding.
+
+Motivation (measured on v5e, see PERF_NOTES.md): XLA's gather engine is
+*index-rate* limited (~130M rows/s) and nearly indifferent to row width,
+so tcnn's layout — 8 independent 32-byte corner fetches per (sample,
+level) — is the worst possible shape for TPU. This encoder stores the
+corner-feature lattice in *bricks*: one stored row holds the
+(B+1)^3-point corner lattice of a B^3-cell block, so every cell lies
+fully inside exactly one brick and an entire trilinear interpolation
+needs ONE row fetch. With B=2 a row is 27 points x F8 = 216 floats
+(padded to 256 lanes = one 1KB HBM tile): 8x fewer gather indices and
+tile-aligned fetches.
+
+Interpolation without per-sample dynamic indexing: the 8 trilerp corner
+weights are scattered into a 256-lane weight vector built purely from
+static lane-index constants (iota>>3 decomposed into lattice coords) and
+elementwise comparisons against the sample's local cell offset; the
+weighted row then reduces to F features with one small MXU matmul
+against a static selection matrix. No (…, 3) or (…, 8)-trailing
+temporaries anywhere (TPU tile padding, see ops/hashgrid.py notes).
+
+Semantics vs. the reference hash grid: within a brick, corners are
+shared exactly as in Instant-NGP; lattice points on brick faces are
+duplicated between neighboring bricks and may diverge during training —
+an additional collision-like discontinuity every B cells, analogous to
+(and empirically as benign as) tcnn's hash collisions. Coarse levels
+whose brick grid fits the table are dense (no hashing), fine levels
+hash the brick coordinate with the Instant-NGP primes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class BrickGridConfig:
+    """Static configuration. log2_bricks bounds the hashed-level brick
+    count (the analog of log2_hashmap_size at brick granularity)."""
+    n_levels: int = 16
+    n_features: int = 8
+    log2_bricks: int = 16
+    base_resolution: int = 16
+    per_level_scale: float = 1.3819
+    brick_size: int = 2               # cells per brick per dim (B)
+    # ----- derived -----
+    scales: tuple = dataclasses.field(default=None)
+    resolutions: tuple = dataclasses.field(default=None)
+    brick_res: tuple = dataclasses.field(default=None)
+    hashed: tuple = dataclasses.field(default=None)
+    offsets: tuple = dataclasses.field(default=None)
+    total_bricks: int = dataclasses.field(default=None)
+
+    def __post_init__(self):
+        T = 1 << self.log2_bricks
+        B = self.brick_size
+        scales, res, bres, hashed, offsets = [], [], [], [], []
+        off = 0
+        for l in range(self.n_levels):
+            scale = self.base_resolution * (self.per_level_scale ** l) - 1
+            r = int(np.ceil(scale)) + 1          # corner-lattice res
+            br = -(-r // B)                       # bricks per dim
+            dense = br ** 3
+            use_hash = dense > T
+            size = T if use_hash else dense
+            scales.append(float(scale))
+            res.append(r)
+            bres.append(br)
+            hashed.append(use_hash)
+            offsets.append(off)
+            off += size
+        object.__setattr__(self, "scales", tuple(scales))
+        object.__setattr__(self, "resolutions", tuple(res))
+        object.__setattr__(self, "brick_res", tuple(bres))
+        object.__setattr__(self, "hashed", tuple(hashed))
+        object.__setattr__(self, "offsets", tuple(offsets))
+        object.__setattr__(self, "total_bricks", off)
+
+    @property
+    def lattice_pts(self) -> int:
+        return (self.brick_size + 1) ** 3
+
+    @property
+    def row_width(self) -> int:
+        """Lane-padded stored row width."""
+        w = self.lattice_pts * self.n_features
+        return -(-w // 128) * 128
+
+    @property
+    def out_dim(self) -> int:
+        return self.n_levels * self.n_features
+
+
+def brickgrid_init(key, cfg: BrickGridConfig, dtype=jnp.float32):
+    return jax.random.uniform(
+        key, (cfg.total_bricks, cfg.row_width), minval=-1e-4,
+        maxval=1e-4, dtype=jnp.float32).astype(dtype)
+
+
+def _select_matrix(cfg: BrickGridConfig) -> np.ndarray:
+    """(row_width, F) static matrix: lane q = 8*p + f -> feature f."""
+    W, F = cfg.row_width, cfg.n_features
+    S = np.zeros((W, F), np.float32)
+    for p in range(cfg.lattice_pts):
+        for f in range(F):
+            S[p * F + f, f] = 1.0
+    return S
+
+
+def _lane_coords(cfg: BrickGridConfig):
+    """Static per-lane lattice coordinates (i, j, k) of each lane's
+    point; padding lanes get coordinate -1 (never matched)."""
+    W, F = cfg.row_width, cfg.n_features
+    P = cfg.brick_size + 1
+    q = np.arange(W)
+    p = q // F
+    valid = p < cfg.lattice_pts
+    i = np.where(valid, p // (P * P), -1)
+    j = np.where(valid, (p // P) % P, -1)
+    k = np.where(valid, p % P, -1)
+    return (jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32),
+            jnp.asarray(k, jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk"))
+def brickgrid_encode(cfg: BrickGridConfig, table: jnp.ndarray,
+                     x: jnp.ndarray, chunk: int = 65536):
+    """Encode (N, 3) positions in [0,1]^3 -> (N, L*F) features.
+
+    One wide-row gather per (sample, level); per-chunk processing keeps
+    the gathered (chunk*L, row_width) block bounded in HBM.
+    """
+    N = x.shape[0]
+    L, F = cfg.n_levels, cfg.n_features
+    if N > chunk:
+        pad = (-N) % chunk
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        out = jax.lax.map(
+            lambda c: brickgrid_encode(cfg, table, c, chunk),
+            xp.reshape(-1, chunk, 3))
+        return out.reshape(-1, L * F)[:N]
+
+    B = cfg.brick_size
+    scales = jnp.asarray(cfg.scales, jnp.float32)
+    res = jnp.asarray(cfg.resolutions, jnp.int32)
+    bres = jnp.asarray(cfg.brick_res, jnp.int32)
+    offsets = jnp.asarray(cfg.offsets, jnp.uint32)
+    hashed = jnp.asarray(cfg.hashed, jnp.bool_)
+    mask = jnp.uint32((1 << cfg.log2_bricks) - 1)
+
+    # (3, L, N) coordinate planes (dim-major; no trailing-3 arrays)
+    xT = x.astype(jnp.float32).T
+    pos = xT[:, None, :] * scales[None, :, None] + 0.5
+    # clamp the cell so corner+1 stays inside the lattice (tcnn-style
+    # boundary behavior)
+    pos_grid = jnp.clip(jnp.floor(pos), 0,
+                        (res[None, :, None] - 2).astype(jnp.float32))
+    frac = pos - pos_grid                                     # (3, L, N)
+    cell = pos_grid.astype(jnp.int32)
+    bc = cell // B                                            # brick coord
+    local = cell - bc * B                                     # 0..B-1
+
+    bcu = bc.astype(jnp.uint32)
+    h = (bcu[0] * jnp.uint32(_PRIMES[0])
+         ^ bcu[1] * jnp.uint32(_PRIMES[1])
+         ^ bcu[2] * jnp.uint32(_PRIMES[2])) & mask
+    bru = bres.astype(jnp.uint32)[:, None]
+    dense = (bcu[2] * bru + bcu[1]) * bru + bcu[0]
+    rows = (jnp.where(hashed[:, None], h, dense)
+            + offsets[:, None]).astype(jnp.int32)             # (L, N)
+
+    g = jnp.take(table, rows.reshape(-1), axis=0
+                 ).astype(jnp.float32)                 # (L*N, W)
+
+    # per-lane static lattice coords
+    li, lj, lk = _lane_coords(cfg)
+
+    def axis_w(lane_c, loc, fr):
+        """weight along one axis: (1-f) at lattice==local, f at +1."""
+        loc_f = loc.reshape(-1, 1).astype(jnp.int32)          # (L*N, 1)
+        fr_f = fr.reshape(-1, 1)
+        lane = lane_c[None, :]
+        return (jnp.where(lane == loc_f, 1.0 - fr_f, 0.0)
+                + jnp.where(lane == loc_f + 1, fr_f, 0.0))
+
+    w = (axis_w(li, local[0], frac[0])
+         * axis_w(lj, local[1], frac[1])
+         * axis_w(lk, local[2], frac[2]))                     # (L*N, W)
+
+    S = jnp.asarray(_select_matrix(cfg))
+    out = jnp.dot(g * w, S, preferred_element_type=jnp.float32)
+    # (L*N, F) -> (N, L*F) level-major
+    return jnp.transpose(out.reshape(L, N, F), (1, 0, 2)
+                         ).reshape(N, L * F)

@@ -199,11 +199,25 @@ def march_rays_lattice(cfg: MarchConfig, bitfield, rays_o, rays_d, hits_t,
                    cfg.grid_size, cfg.scale)
 
     in_range = (t1[:, None] >= 0) & (ts_m >= 0) & (ts_m < t2[:, None])
-    x = rays_o[:, None, :] + ts_m[..., None] * rays_d[:, None, :]
-    mip = jnp.maximum(mip_from_pos(x, cfg.cascades),
+    # dim-major: three (R, M) coordinate planes instead of an (R, M, 3)
+    # array — a trailing dim of 3 pads 43x on TPU tiles (4+ GB of temps
+    # at R=8192, M=1024)
+    xs = [rays_o[:, d:d + 1] + ts_m * rays_d[:, d:d + 1]
+          for d in range(3)]
+    # mip_from_pos (cascade.py): frexp exponent of max |coord|, +1
+    mx = jnp.maximum(jnp.abs(xs[0]),
+                     jnp.maximum(jnp.abs(xs[1]), jnp.abs(xs[2])))
+    _, e_pos = jnp.frexp(mx)
+    mip_p = jnp.clip(e_pos + 1, 0, cfg.cascades - 1)
+    mip = jnp.maximum(mip_p,
                       mip_from_dt(dt_m, cfg.grid_size, cfg.cascades))
-    coord, _ = cell_coord(x, mip, cfg.grid_size, cfg.scale)
-    idx = cell_index(coord, mip, cfg.grid_size)
+    # cell_coord + row-major cell_index, per dim (cascade.py semantics)
+    bound = jnp.minimum(jnp.exp2(mip.astype(jnp.float32) - 1.0),
+                        jnp.float32(cfg.scale))
+    gs = cfg.grid_size
+    ns = [jnp.clip(0.5 * (x_d / bound + 1.0) * gs, 0.0, gs - 1.0
+                   ).astype(jnp.int32) for x_d in xs]
+    idx = ((mip * gs + ns[2]) * gs + ns[1]) * gs + ns[0]
     occ = bitfield_lookup(bitfield, idx) & in_range              # (R, M)
 
     slot = jnp.cumsum(occ.astype(jnp.int32), axis=1) - 1         # (R, M)

@@ -101,6 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--rgb_L", type=int, default=16)
     parser.add_argument("--rgb_F", type=int, default=8)
     parser.add_argument("--rgb_log2T", type=int, default=21)
+    parser.add_argument("--encoder", type=str, default="hash",
+                        choices=["hash", "brick"],
+                        help="hash = tcnn-layout parity; brick = "
+                             "TPU-native packed rows (PERF_NOTES.md)")
+    parser.add_argument("--table_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
     return parser
 
 

@@ -56,6 +56,8 @@ def model_config_from_hparams(h) -> NGPConfig:
         rgb_L=getattr(h, "rgb_L", 16),
         rgb_F=getattr(h, "rgb_F", 8),
         rgb_log2T=getattr(h, "rgb_log2T", 21),
+        encoder=getattr(h, "encoder", "hash"),
+        table_dtype=getattr(h, "table_dtype", "float32"),
     )
 
 

@@ -86,6 +86,19 @@ def test_full_featureset_step():
                            ext_before)
 
 
+def test_training_with_brick_encoder():
+    # the TPU-native brick encoder must converge like the hash encoder
+    system = make_system(encoder="brick")
+    rng = np.random.default_rng(0)
+    losses = []
+    for _ in range(40):
+        batch = system.train_dataset.sample_batch(rng, 512)
+        aux = system.training_step(batch)
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-8:]) < 0.5 * np.mean(losses[:4])
+
+
 def test_checkpoint_roundtrip(tmp_path):
     system = make_system()
     rng = np.random.default_rng(0)
