@@ -202,15 +202,14 @@ def ngp_grad(cfg: NGPConfig, params, x):
     MLP — identical values to full AD (tested) at one fewer traversal
     of the encoder graph. Everything stays differentiable w.r.t. params
     (the reference's create_graph double backward)."""
-    if cfg.encoder == "brick":
-        # brick encoder: reverse-mode through the encode (analytic
-        # jacobian variant pending)
-        sigmas, vjp_fn = jax.vjp(lambda xx: ngp_sigma(cfg, params, xx), x)
-        grads = vjp_fn(jnp.ones_like(sigmas))[0]
-        return sigmas, ngp_rgb_feat(cfg, params, x), grads
     u = _normalize_coords(cfg, x)
-    feats, jac = hashgrid_encode_grad(cfg.density_grid_cfg,
-                                      params["density_table"], u)
+    if cfg.encoder == "brick":
+        from ..ops.brickgrid import brickgrid_encode_grad
+        feats, jac = brickgrid_encode_grad(cfg.density_brick_cfg,
+                                           params["density_table"], u)
+    else:
+        feats, jac = hashgrid_encode_grad(cfg.density_grid_cfg,
+                                          params["density_table"], u)
     raw, mlp_vjp = jax.vjp(
         lambda h: mlp_apply(params["xyz_net"], h, "softplus", "none",
                             cfg.dtype)[:, 0], feats)

@@ -49,6 +49,9 @@ class RenderConfig:
     use_skybox: bool = False
     random_bg: bool = False
     stop_header_grads: bool = False
+    # fused Pallas composite kernel (ops/pallas/); requires R % 8 == 0
+    # and capacity % 128 == 0
+    pallas_composite: bool = False
 
     def march_cfg(self, model: NGPConfig) -> MarchConfig:
         return MarchConfig(
@@ -126,10 +129,27 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
     # capacity overflow: samples that didn't fit in K must not composite
     valid_k = scatter_back(slot_valid.astype(jnp.float32), src, R, S) > 0
 
-    results = composite_rays(sigmas, rgbs, deltas, ts, valid_k,
-                             render_cfg.T_threshold,
-                             normals_pred=npred, normals_raw=nraw,
-                             sems=sems)
+    if render_cfg.pallas_composite:
+        from ..ops.pallas.composite_pallas import (composite_pallas,
+                                                   pallas_supported)
+        ws_p, opacity_p, depth_p, rgb_p = composite_pallas(
+            sigmas, rgbs, deltas, ts, valid_k, render_cfg.T_threshold,
+            not pallas_supported())  # interpret on CPU backends
+        results = {
+            "ws": ws_p, "opacity": opacity_p, "depth": depth_p,
+            "rgb": rgb_p,
+            "vr_samples": jnp.sum(ws_p > 0, -1),
+            # aux composites reuse the kernel's weights; their cotangents
+            # flow through the kernel's dL/dws backward
+            "normal_pred": jnp.sum(ws_p[..., None] * npred, -2),
+            "normal_raw": jnp.sum(ws_p[..., None] * nraw, -2),
+            "semantic": jnp.sum(ws_p[..., None] * sems, -2),
+        }
+    else:
+        results = composite_rays(sigmas, rgbs, deltas, ts, valid_k,
+                                 render_cfg.T_threshold,
+                                 normals_pred=npred, normals_raw=nraw,
+                                 sems=sems)
     results["ts"] = ts
     results["deltas"] = deltas
     results["valid"] = valid_k

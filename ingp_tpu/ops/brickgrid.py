@@ -131,20 +131,24 @@ def _lane_coords(cfg: BrickGridConfig):
 
 @partial(jax.jit, static_argnames=("cfg", "chunk"))
 def brickgrid_encode(cfg: BrickGridConfig, table: jnp.ndarray,
-                     x: jnp.ndarray, chunk: int = 65536):
+                     x: jnp.ndarray, chunk: int = 16384):
     """Encode (N, 3) positions in [0,1]^3 -> (N, L*F) features.
 
-    One wide-row gather per (sample, level); per-chunk processing keeps
-    the gathered (chunk*L, row_width) block bounded in HBM.
+    One wide-row gather per (sample, level). Per-chunk processing with
+    rematerialization bounds both the forward temporaries (the gathered
+    (chunk*L, row_width) block and the three axis-weight planes) and the
+    AD residuals — without jax.checkpoint, differentiating through the
+    chunk loop stacks every chunk's gathered rows in HBM (measured:
+    38GB at the flagship op-point).
     """
     N = x.shape[0]
     L, F = cfg.n_levels, cfg.n_features
     if N > chunk:
         pad = (-N) % chunk
         xp = jnp.pad(x, ((0, pad), (0, 0)))
-        out = jax.lax.map(
-            lambda c: brickgrid_encode(cfg, table, c, chunk),
-            xp.reshape(-1, chunk, 3))
+        body = jax.checkpoint(
+            lambda c: brickgrid_encode(cfg, table, c, chunk))
+        out = jax.lax.map(body, xp.reshape(-1, chunk, 3))
         return out.reshape(-1, L * F)[:N]
 
     B = cfg.brick_size
@@ -199,3 +203,81 @@ def brickgrid_encode(cfg: BrickGridConfig, table: jnp.ndarray,
     # (L*N, F) -> (N, L*F) level-major
     return jnp.transpose(out.reshape(L, N, F), (1, 0, 2)
                          ).reshape(N, L * F)
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk"))
+def brickgrid_encode_grad(cfg: BrickGridConfig, table: jnp.ndarray,
+                          x: jnp.ndarray, chunk: int = 16384):
+    """Encode + analytic d(feat)/dx in the same single-gather pass
+    (brick analog of ops/hashgrid.hashgrid_encode_grad).
+
+    Returns (feats (N, L*F), jac (3, N, L*F)).
+    """
+    N = x.shape[0]
+    L, F = cfg.n_levels, cfg.n_features
+    if N > chunk:
+        pad = (-N) % chunk
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        body = jax.checkpoint(
+            lambda c: brickgrid_encode_grad(cfg, table, c, chunk))
+        feats, jac = jax.lax.map(body, xp.reshape(-1, chunk, 3))
+        return (feats.reshape(-1, L * F)[:N],
+                jnp.moveaxis(jac, 1, 0).reshape(3, -1, L * F)[:, :N])
+
+    B = cfg.brick_size
+    scales = jnp.asarray(cfg.scales, jnp.float32)
+    res = jnp.asarray(cfg.resolutions, jnp.int32)
+    bres = jnp.asarray(cfg.brick_res, jnp.int32)
+    offsets = jnp.asarray(cfg.offsets, jnp.uint32)
+    hashed = jnp.asarray(cfg.hashed, jnp.bool_)
+    mask = jnp.uint32((1 << cfg.log2_bricks) - 1)
+
+    xT = x.astype(jnp.float32).T
+    pos = xT[:, None, :] * scales[None, :, None] + 0.5
+    pos_grid = jnp.clip(jnp.floor(pos), 0,
+                        (res[None, :, None] - 2).astype(jnp.float32))
+    frac = pos - pos_grid
+    cell = pos_grid.astype(jnp.int32)
+    bc = cell // B
+    local = cell - bc * B
+
+    bcu = bc.astype(jnp.uint32)
+    h = (bcu[0] * jnp.uint32(_PRIMES[0])
+         ^ bcu[1] * jnp.uint32(_PRIMES[1])
+         ^ bcu[2] * jnp.uint32(_PRIMES[2])) & mask
+    bru = bres.astype(jnp.uint32)[:, None]
+    dense = (bcu[2] * bru + bcu[1]) * bru + bcu[0]
+    rows = (jnp.where(hashed[:, None], h, dense)
+            + offsets[:, None]).astype(jnp.int32)
+
+    g = jnp.take(table, rows.reshape(-1), axis=0).astype(jnp.float32)
+
+    li, lj, lk = _lane_coords(cfg)
+
+    def axis_parts(lane_c, loc, fr):
+        loc_f = loc.reshape(-1, 1).astype(jnp.int32)
+        fr_f = fr.reshape(-1, 1)
+        lane = lane_c[None, :]
+        at0 = (lane == loc_f).astype(jnp.float32)
+        at1 = (lane == loc_f + 1).astype(jnp.float32)
+        w = at0 * (1.0 - fr_f) + at1 * fr_f
+        dw = at1 - at0                     # d w / d frac
+        return w, dw
+
+    wx, dwx = axis_parts(li, local[0], frac[0])
+    wy, dwy = axis_parts(lj, local[1], frac[1])
+    wz, dwz = axis_parts(lk, local[2], frac[2])
+
+    S = jnp.asarray(_select_matrix(cfg))
+    sc = jnp.repeat(scales, N)[:, None]    # d frac / d x per row
+
+    def reduce(wprod):
+        out = jnp.dot(g * wprod, S, preferred_element_type=jnp.float32)
+        return jnp.transpose(out.reshape(L, N, F), (1, 0, 2)
+                             ).reshape(N, L * F)
+
+    feats = reduce(wx * wy * wz)
+    jac = jnp.stack([reduce(dwx * wy * wz * sc),
+                     reduce(wx * dwy * wz * sc),
+                     reduce(wx * wy * dwz * sc)])
+    return feats, jac

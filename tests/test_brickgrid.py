@@ -110,6 +110,33 @@ def test_brick_encode_chunked_equals_direct():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_brick_encode_grad_matches_ad():
+    from ingp_tpu.ops.brickgrid import brickgrid_encode_grad
+    cfg = small_cfg(n_levels=2)
+    table = brickgrid_init(jax.random.PRNGKey(0), cfg) * 100
+    x = jax.random.uniform(jax.random.PRNGKey(5), (9, 3),
+                           minval=0.05, maxval=0.95)
+    feats, jac = brickgrid_encode_grad(cfg, table, x)
+    np.testing.assert_allclose(
+        np.asarray(feats), np.asarray(brickgrid_encode(cfg, table, x)),
+        rtol=1e-5, atol=1e-6)
+    ad_jac = jax.jacfwd(lambda xx: brickgrid_encode(cfg, table, xx[None])
+                        [0])(x[0])                  # (LF, 3)
+    np.testing.assert_allclose(np.asarray(jac[:, 0, :]).T,
+                               np.asarray(ad_jac), rtol=1e-4, atol=1e-4)
+
+
+def test_brick_encode_grad_chunked():
+    from ingp_tpu.ops.brickgrid import brickgrid_encode_grad
+    cfg = small_cfg(n_levels=2)
+    table = brickgrid_init(jax.random.PRNGKey(0), cfg) * 100
+    x = jax.random.uniform(jax.random.PRNGKey(6), (300, 3))
+    f1, j1 = brickgrid_encode_grad(cfg, table, x, chunk=128)
+    f2, j2 = brickgrid_encode_grad(cfg, table, x, chunk=4096)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(j1), np.asarray(j2), rtol=1e-6)
+
+
 def test_brick_row_width_padding():
     cfg = small_cfg()  # 27 pts x 2F = 54 -> 128 lanes
     assert cfg.row_width == 128
