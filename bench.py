@@ -13,6 +13,7 @@ faster than that estimate.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -42,7 +43,8 @@ def main():
         render_semantic=False, chunk_size=131072, seed=0, ckpt_load=None,
         compute_dtype="bfloat16",
         capacity=128, march_iters=1024, samples_per_ray=24,
-        encoder="brick", table_dtype="float32",
+        encoder=os.environ.get("BENCH_ENCODER", "brick"),
+        table_dtype=os.environ.get("BENCH_TABLE_DTYPE", "float32"),
     )
     tr = SyntheticDataset(split="train", img_size=256, n_train=16)
     te = SyntheticDataset(split="test", img_size=256, n_test=1)
