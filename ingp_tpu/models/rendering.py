@@ -103,9 +103,9 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
     ts, deltas, valid = march["ts"], march["deltas"], march["valid"]
 
     # ragged -> fixed: pack valid samples into a (K,) network batch
-    src, slot_valid, _ = compact_samples(valid, K)
-    rids = ray_ids_for(src, R)
-    t_k = gather_samples(ts, src)                          # (K,)
+    plan = compact_samples(valid, K)
+    rids = ray_ids_for(plan)
+    t_k = gather_samples(ts, plan)                         # (K,)
     # positions differentiate through rays (pose refinement) but not t
     # (RayMarcher backward, custom_functions.py:104-113)
     xyz_k = rays_o[rids] + t_k[:, None] * rays_d[rids]
@@ -118,16 +118,16 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
         stop_header_grads=render_cfg.stop_header_grads)
 
     # zero out padding lanes before scattering back
-    pad = ~slot_valid
+    pad = ~plan.slot_valid
     sigmas_k = jnp.where(pad, 0.0, sigmas_k)
-    sigmas = scatter_back(sigmas_k, src, R, S)
-    rgbs = scatter_back(rgbs_k, src, R, S)
-    npred = scatter_back(npred_k, src, R, S)
-    nraw = scatter_back(nraw_k, src, R, S)
-    sems = scatter_back(sems_k, src, R, S)
+    sigmas = scatter_back(sigmas_k, plan)
+    rgbs = scatter_back(rgbs_k, plan)
+    npred = scatter_back(npred_k, plan)
+    nraw = scatter_back(nraw_k, plan)
+    sems = scatter_back(sems_k, plan)
 
     # capacity overflow: samples that didn't fit in K must not composite
-    valid_k = scatter_back(slot_valid.astype(jnp.float32), src, R, S) > 0
+    valid_k = plan.cell_valid
 
     if render_cfg.pallas_composite:
         from ..ops.pallas.composite_pallas import (composite_pallas,
@@ -172,7 +172,7 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
     dir_n = dir_k / jnp.maximum(
         jnp.linalg.norm(dir_k, axis=-1, keepdims=True), 1e-6)
     ori_k = jnp.maximum(jnp.sum(nraw_k * dir_n, -1), 0.0) ** 2
-    normals_ori = scatter_back(ori_k, src, R, S)
+    normals_ori = scatter_back(ori_k, plan)
     Ro, Rp = ref_loss(jax.lax.stop_gradient(sigmas), normals_diff,
                       normals_ori, deltas, valid_k,
                       render_cfg.T_threshold)
@@ -236,14 +236,14 @@ def _render_rays_test_inner(model_cfg, render_cfg, params, bitfield,
     ts, deltas, valid = march["ts"], march["deltas"], march["valid"]
 
     # ---- phase 1: sigma-only prepass on every occupied sample --------
-    src, slot_valid, _ = compact_samples(valid, K)
-    rids = ray_ids_for(src, R)
-    t_k = gather_samples(ts, src)
+    plan = compact_samples(valid, K)
+    rids = ray_ids_for(plan)
+    t_k = gather_samples(ts, plan)
     xyz_k = rays_o[rids] + t_k[:, None] * rays_d[rids]
-    sig_k = jnp.where(~slot_valid, 0.0,
+    sig_k = jnp.where(~plan.slot_valid, 0.0,
                       ngp_sigma(model_cfg, params, xyz_k))
-    sigmas = scatter_back(sig_k, src, R, S)
-    valid_k = scatter_back(slot_valid.astype(jnp.float32), src, R, S) > 0
+    sigmas = scatter_back(sig_k, plan)
+    valid_k = plan.cell_valid
 
     # ---- early termination: keep only samples the reference's alive
     # loop would still be marching (T above threshold) -----------------
@@ -252,21 +252,20 @@ def _render_rays_test_inner(model_cfg, render_cfg, params, bitfield,
     visible = valid_k & (Ts > render_cfg.T_threshold)
 
     # ---- phase 2: full forward on visible samples only ---------------
-    src2, slot_valid2, _ = compact_samples(visible, K)
-    rids2 = ray_ids_for(src2, R)
-    t_k2 = gather_samples(ts, src2)
+    plan2 = compact_samples(visible, K)
+    rids2 = ray_ids_for(plan2)
+    t_k2 = gather_samples(ts, plan2)
     xyz2 = rays_o[rids2] + t_k2[:, None] * rays_d[rids2]
     dir2 = rays_d[rids2]
     emb2 = embedding_a[rids2] if embedding_a is not None else None
     _, rgbs_k, nraw_k, npred_k, sems_k = ngp_forward(
         model_cfg, params, xyz2, dir2, embedding_a=emb2,
         exposure=exposure, stop_header_grads=True)
-    pad2 = ~slot_valid2
-    rgbs = scatter_back(jnp.where(pad2[:, None], 0.0, rgbs_k), src2, R, S)
-    npred = scatter_back(jnp.where(pad2[:, None], 0.0, npred_k),
-                         src2, R, S)
-    nraw = scatter_back(jnp.where(pad2[:, None], 0.0, nraw_k), src2, R, S)
-    sems = scatter_back(jnp.where(pad2[:, None], 0.0, sems_k), src2, R, S)
+    pad2 = ~plan2.slot_valid
+    rgbs = scatter_back(jnp.where(pad2[:, None], 0.0, rgbs_k), plan2)
+    npred = scatter_back(jnp.where(pad2[:, None], 0.0, npred_k), plan2)
+    nraw = scatter_back(jnp.where(pad2[:, None], 0.0, nraw_k), plan2)
+    sems = scatter_back(jnp.where(pad2[:, None], 0.0, sems_k), plan2)
 
     results = composite_rays(sigmas, rgbs, deltas, ts, visible,
                              render_cfg.T_threshold,

@@ -7,13 +7,20 @@ Two jobs:
    thread per byte (models/csrc/raymarching.cu:122-161). Here it's a
    vectorized reshape+shift into uint32 words (TPU-friendly word size).
 
-2. `compact_samples` / `scatter_back`: the ragged->fixed-shape bridge.
-   The reference compacts variable per-ray samples with atomicAdd slot
-   assignment (raymarching.cu:237-241), producing nondeterministic ray
-   order. On TPU we march into dense (R, S) buffers with a validity
-   mask, then deterministically pack the valid samples to the front of a
-   fixed-capacity (K,) batch with a cumsum -> scatter, run the (MXU-heavy)
-   network on exactly K samples, and scatter results back to (R, S).
+2. The ragged->fixed-shape bridge. The reference compacts variable
+   per-ray samples with atomicAdd slot assignment
+   (raymarching.cu:237-241), producing nondeterministic ray order. On
+   TPU we march into dense (R, S) buffers with a validity mask, then
+   deterministically pack the valid samples to the front of a fixed
+   (K,) batch.
+
+   TPU-critical design (PERF_NOTES.md): element-wise scatters run at
+   ~11M idx/s on TPU — pathological. Every mapping here is a bijection
+   between valid (ray, slot) cells and compact slots, so BOTH transfer
+   directions (and both backward passes, via custom_vjp) are expressed
+   as gathers: the forward map comes from a cumulative count +
+   vectorized searchsorted, the inverse map is the cumsum itself. No
+   scatter appears anywhere in the compaction, forward or backward.
 
    Flattening is **sample-major** (index = s * R + r): if the batch
    overflows K, the *deepest* samples of all rays are dropped uniformly,
@@ -22,6 +29,7 @@ Two jobs:
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -44,61 +52,107 @@ def bitfield_lookup(bitfield: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return bit.astype(jnp.bool_)
 
 
+class CompactPlan(NamedTuple):
+    """Bijective index maps between valid (R, S) cells and (K,) slots.
+
+    Shapes carry the static dims: src is (K,), slot_grid is (R, S)."""
+    src: jnp.ndarray         # (K,) sample-major flat index per slot
+    slot_valid: jnp.ndarray  # (K,) slot holds a real sample
+    slot_grid: jnp.ndarray   # (R, S) compact slot per cell (valid cells)
+    cell_valid: jnp.ndarray  # (R, S) cell is valid AND kept (slot < K)
+    n_valid: jnp.ndarray     # () kept sample count
+
+
 @partial(jax.jit, static_argnames=("capacity",))
-def compact_samples(valid: jnp.ndarray, capacity: int):
-    """Pack valid sample slots of an (R, S) grid to the front of a fixed
-    (capacity,) list.
+def compact_samples(valid: jnp.ndarray, capacity: int) -> CompactPlan:
+    """Plan the pack of valid (R, S) cells into a fixed (K,) batch.
 
-    Args:
-      valid: (R, S) bool — which (ray, slot) cells hold a real sample.
-      capacity: K, static output length.
-
-    Returns:
-      src: (K,) int32 flat indices into the sample-major flattening
-           (s * R + r) of the (R, S) grid; entries >= R*S are padding.
-      slot_valid: (K,) bool — src[i] is a real sample.
-      n_valid: () int32 — total number of valid samples kept
-               (min(#valid, K)).
+    Gather-only: slots are assigned by an exclusive count (cumsum) and
+    the forward map src[i] = index of the i-th valid sample comes from a
+    vectorized searchsorted on the inclusive count.
     """
     R, S = valid.shape
-    flat = valid.T.reshape(-1)                       # sample-major (S*R,)
-    n_total = flat.shape[0]
-    dest = jnp.cumsum(flat.astype(jnp.int32)) - 1    # target slot per sample
-    n_valid_all = dest[-1] + 1
-    # invalid samples and overflow both go to the dump slot `capacity`
-    dest = jnp.where(flat & (dest < capacity), dest, capacity)
-    src = jnp.full((capacity + 1,), n_total, dtype=jnp.int32)
-    src = src.at[dest].set(jnp.arange(n_total, dtype=jnp.int32),
-                           mode="drop", unique_indices=False)
-    src = src[:capacity]
-    n_valid = jnp.minimum(n_valid_all, capacity).astype(jnp.int32)
-    slot_valid = jnp.arange(capacity, dtype=jnp.int32) < n_valid
-    # all pad slots keep the sentinel n_total; keep src in-bounds for take
-    return src, slot_valid, n_valid
+    K = capacity
+    flat = valid.T.reshape(-1)                        # sample-major (S*R,)
+    inc = jnp.cumsum(flat.astype(jnp.int32))          # inclusive count
+    n_valid_all = inc[-1]
+
+    # forward map: first index where count reaches i+1
+    wanted = jnp.arange(1, K + 1, dtype=jnp.int32)
+    src = jnp.searchsorted(inc, wanted, side="left").astype(jnp.int32)
+    n_valid = jnp.minimum(n_valid_all, K)
+    slot_valid = jnp.arange(K, dtype=jnp.int32) < n_valid
+    src = jnp.where(slot_valid, src, S * R)           # sentinel when pad
+
+    # inverse map: slot of each cell (only meaningful where valid)
+    slot_flat = inc - 1
+    slot_grid = jnp.swapaxes(slot_flat.reshape(S, R), 0, 1)
+    cell_valid = valid & (slot_grid < K)
+    return CompactPlan(src, slot_valid, slot_grid, cell_valid, n_valid)
 
 
-def gather_samples(arr: jnp.ndarray, src: jnp.ndarray):
-    """Gather per-sample rows of an (R, S, ...) array into the compact
-    (K, ...) batch. Padding slots return zeros."""
-    R, S = arr.shape[:2]
+def _gather_fwd(arr, plan: CompactPlan):
+    R, S = plan.slot_grid.shape
     tail = arr.shape[2:]
     flat = jnp.swapaxes(arr, 0, 1).reshape((R * S,) + tail)
-    safe = jnp.minimum(src, R * S - 1)
+    safe = jnp.minimum(plan.src, R * S - 1)
     out = jnp.take(flat, safe, axis=0)
-    pad = (src >= R * S)
+    pad = ~plan.slot_valid
     return jnp.where(pad.reshape((-1,) + (1,) * len(tail)),
                      jnp.zeros((), arr.dtype), out)
 
 
-def scatter_back(values: jnp.ndarray, src: jnp.ndarray, R: int, S: int):
-    """Scatter compact (K, ...) results back into an (R, S, ...) grid.
-    Pad slots (src >= R*S) are dropped. Unwritten cells are zero."""
+def _scatter_fwd(values, plan: CompactPlan):
     tail = values.shape[1:]
-    flat = jnp.zeros((R * S,) + tail, dtype=values.dtype)
-    flat = flat.at[src].set(values, mode="drop", unique_indices=True)
-    return jnp.swapaxes(flat.reshape((S, R) + tail), 0, 1)
+    R, S = plan.slot_grid.shape
+    K = values.shape[0]
+    safe_slot = jnp.minimum(plan.slot_grid, K - 1)
+    out = jnp.take(values, safe_slot.reshape(-1), axis=0
+                   ).reshape((R, S) + tail)
+    mask = plan.cell_valid.reshape((R, S) + (1,) * len(tail))
+    return jnp.where(mask, out, jnp.zeros((), values.dtype))
 
 
-def ray_ids_for(src: jnp.ndarray, R: int):
+@jax.custom_vjp
+def gather_samples(arr: jnp.ndarray, plan: CompactPlan):
+    """(R, S, ...) -> compact (K, ...); padding slots are zeros.
+
+    Backward is the inverse gather (scatter-free, deterministic)."""
+    return _gather_fwd(arr, plan)
+
+
+def _gather_vjp_fwd(arr, plan):
+    return _gather_fwd(arr, plan), plan
+
+
+def _gather_vjp_bwd(plan, g):
+    return (_scatter_fwd(g, plan), None)
+
+
+gather_samples.defvjp(_gather_vjp_fwd, _gather_vjp_bwd)
+
+
+@jax.custom_vjp
+def scatter_back(values: jnp.ndarray, plan: CompactPlan):
+    """Compact (K, ...) -> (R, S, ...); unmapped cells are zeros.
+
+    Implemented as a gather through the inverse map; backward is the
+    forward gather."""
+    return _scatter_fwd(values, plan)
+
+
+def _scatter_vjp_fwd(values, plan):
+    return _scatter_fwd(values, plan), plan
+
+
+def _scatter_vjp_bwd(plan, g):
+    return (_gather_fwd(g, plan), None)
+
+
+scatter_back.defvjp(_scatter_vjp_fwd, _scatter_vjp_bwd)
+
+
+def ray_ids_for(plan: CompactPlan):
     """Ray index of each compact slot (sample-major flattening)."""
-    return (src % R).astype(jnp.int32)
+    R, S = plan.slot_grid.shape
+    return (jnp.minimum(plan.src, R * S - 1) % R).astype(jnp.int32)

@@ -231,16 +231,16 @@ def test_compact_gather_scatter_roundtrip():
     vals = rng.normal(size=(R, S, 3)).astype(np.float32)
     vals[~valid] = 0.0
 
-    src, slot_valid, n_valid = compact_samples(jnp.asarray(valid), K)
-    assert int(n_valid) == valid.sum()
-    g = gather_samples(jnp.asarray(vals), src)
+    plan = compact_samples(jnp.asarray(valid), K)
+    assert int(plan.n_valid) == valid.sum()
+    g = gather_samples(jnp.asarray(vals), plan)
     assert g.shape == (K, 3)
-    back = scatter_back(g, src, R, S)
+    back = scatter_back(g, plan)
     np.testing.assert_allclose(np.asarray(back), vals, atol=1e-6)
     # ray ids point back at the right rows
-    rid = np.asarray(ray_ids_for(src, R))
-    got_rows = np.asarray(g)[np.asarray(slot_valid)]
-    for i, r in enumerate(rid[np.asarray(slot_valid)]):
+    rid = np.asarray(ray_ids_for(plan))
+    got_rows = np.asarray(g)[np.asarray(plan.slot_valid)]
+    for i, r in enumerate(rid[np.asarray(plan.slot_valid)]):
         assert np.isin(got_rows[i], vals[r]).all() or got_rows[i].sum() == 0
 
 
@@ -248,8 +248,40 @@ def test_compact_overflow_drops_deepest():
     # sample-major flattening: overflow drops the highest sample slots
     R, S, K = 4, 4, 6
     valid = jnp.ones((R, S), bool)
-    src, slot_valid, n_valid = compact_samples(valid, K)
-    assert int(n_valid) == K
+    plan = compact_samples(valid, K)
+    assert int(plan.n_valid) == K
     # first 6 sample-major entries are slot 0 of rays 0-3 then slot 1 of 0-1
     want = [0 * R + 0, 0 * R + 1, 0 * R + 2, 0 * R + 3, 1 * R + 0, 1 * R + 1]
-    np.testing.assert_array_equal(np.asarray(src), want)
+    np.testing.assert_array_equal(np.asarray(plan.src), want)
+
+
+def test_compact_gather_scatter_vjps_are_scatter_free_and_correct():
+    # custom VJPs: d(gather)/d(arr) via the inverse gather and
+    # d(scatter_back)/d(values) via the forward gather must match AD of
+    # a naive implementation
+    rng = np.random.default_rng(2)
+    R, S, K = 6, 4, 16
+    valid = jnp.asarray(rng.random((R, S)) < 0.5)
+    plan = compact_samples(valid, K)
+    arr = jnp.asarray(rng.normal(size=(R, S)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(K,)).astype(np.float32))
+
+    g = jax.grad(lambda a: jnp.sum(gather_samples(a, plan) * ct))(arr)
+    # naive: gradient lands exactly on the kept valid cells with ct value
+    want = np.zeros((R, S), np.float32)
+    src = np.asarray(plan.src)
+    for k in range(K):
+        if np.asarray(plan.slot_valid)[k]:
+            s, r = divmod(src[k], R)
+            want[r, s] = float(ct[k])
+    np.testing.assert_allclose(np.asarray(g), want, atol=1e-6)
+
+    vals = jnp.asarray(rng.normal(size=(K,)).astype(np.float32))
+    ct2 = jnp.asarray(rng.normal(size=(R, S)).astype(np.float32))
+    g2 = jax.grad(lambda v: jnp.sum(scatter_back(v, plan) * ct2))(vals)
+    want2 = np.zeros(K, np.float32)
+    for k in range(K):
+        if np.asarray(plan.slot_valid)[k]:
+            s, r = divmod(src[k], R)
+            want2[k] = float(ct2[r, s])
+    np.testing.assert_allclose(np.asarray(g2), want2, atol=1e-6)
