@@ -68,6 +68,8 @@ class NGPConfig:
     encoder: str = "hash"
     table_dtype: str = "float32"    # feature tables ("bfloat16" halves
     #                                 the gathered row bytes)
+    encode_remat: bool = True       # recompute encode gathers in bwd
+    #                                 (False trades HBM for a pass)
 
     @property
     def cascades(self) -> int:
@@ -159,14 +161,16 @@ def _normalize_coords(cfg: NGPConfig, x):
 def _encode_density(cfg: NGPConfig, params, u):
     if cfg.encoder == "brick":
         return brickgrid_encode(cfg.density_brick_cfg,
-                                params["density_table"], u)
+                                params["density_table"], u,
+                                remat=cfg.encode_remat)
     return hashgrid_encode(cfg.density_grid_cfg,
                            params["density_table"], u)
 
 
 def _encode_rgb(cfg: NGPConfig, params, u):
     if cfg.encoder == "brick":
-        return brickgrid_encode(cfg.rgb_brick_cfg, params["rgb_table"], u)
+        return brickgrid_encode(cfg.rgb_brick_cfg, params["rgb_table"], u,
+                                remat=cfg.encode_remat)
     return hashgrid_encode(cfg.rgb_grid_cfg, params["rgb_table"], u)
 
 
@@ -206,7 +210,8 @@ def ngp_grad(cfg: NGPConfig, params, x):
     if cfg.encoder == "brick":
         from ..ops.brickgrid import brickgrid_encode_grad
         feats, jac = brickgrid_encode_grad(cfg.density_brick_cfg,
-                                           params["density_table"], u)
+                                           params["density_table"], u,
+                                           remat=cfg.encode_remat)
     else:
         feats, jac = hashgrid_encode_grad(cfg.density_grid_cfg,
                                           params["density_table"], u)

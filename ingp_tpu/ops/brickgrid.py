@@ -129,9 +129,10 @@ def _lane_coords(cfg: BrickGridConfig):
             jnp.asarray(k, jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk"))
+@partial(jax.jit, static_argnames=("cfg", "chunk", "remat"))
 def brickgrid_encode(cfg: BrickGridConfig, table: jnp.ndarray,
-                     x: jnp.ndarray, chunk: int = 16384):
+                     x: jnp.ndarray, chunk: int = 16384,
+                     remat: bool = True):
     """Encode (N, 3) positions in [0,1]^3 -> (N, L*F) features.
 
     One wide-row gather per (sample, level). Per-chunk processing with
@@ -146,8 +147,9 @@ def brickgrid_encode(cfg: BrickGridConfig, table: jnp.ndarray,
     if N > chunk:
         pad = (-N) % chunk
         xp = jnp.pad(x, ((0, pad), (0, 0)))
-        body = jax.checkpoint(
-            lambda c: brickgrid_encode(cfg, table, c, chunk))
+        body = lambda c: brickgrid_encode(cfg, table, c, chunk)
+        if remat:
+            body = jax.checkpoint(body)
         out = jax.lax.map(body, xp.reshape(-1, chunk, 3))
         return out.reshape(-1, L * F)[:N]
 
@@ -205,9 +207,10 @@ def brickgrid_encode(cfg: BrickGridConfig, table: jnp.ndarray,
                          ).reshape(N, L * F)
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk"))
+@partial(jax.jit, static_argnames=("cfg", "chunk", "remat"))
 def brickgrid_encode_grad(cfg: BrickGridConfig, table: jnp.ndarray,
-                          x: jnp.ndarray, chunk: int = 16384):
+                          x: jnp.ndarray, chunk: int = 16384,
+                          remat: bool = True):
     """Encode + analytic d(feat)/dx in the same single-gather pass
     (brick analog of ops/hashgrid.hashgrid_encode_grad).
 
@@ -218,8 +221,9 @@ def brickgrid_encode_grad(cfg: BrickGridConfig, table: jnp.ndarray,
     if N > chunk:
         pad = (-N) % chunk
         xp = jnp.pad(x, ((0, pad), (0, 0)))
-        body = jax.checkpoint(
-            lambda c: brickgrid_encode_grad(cfg, table, c, chunk))
+        body = lambda c: brickgrid_encode_grad(cfg, table, c, chunk)
+        if remat:
+            body = jax.checkpoint(body)
         feats, jac = jax.lax.map(body, xp.reshape(-1, chunk, 3))
         return (feats.reshape(-1, L * F)[:N],
                 jnp.moveaxis(jac, 1, 0).reshape(3, -1, L * F)[:, :N])
