@@ -39,6 +39,52 @@ def test_single_process_helpers():
     assert out["a"].shape == (16, 2)
 
 
+def test_data_parallel_training_equivalence():
+    # 3 training steps on an 8-device mesh == 3 steps on one device
+    # (same batches, same seeds): GSPMD sharding must not change math
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from types import SimpleNamespace
+    from ingp_tpu.training.trainer import NeRFSystem
+    from ingp_tpu.data.synthetic import SyntheticDataset
+
+    def hp():
+        return SimpleNamespace(
+            dataset_name="synthetic", root_dir="", split="train",
+            downsample=1.0, scale=0.5, use_skybox=False,
+            use_exposure=False, embed_a=False, embed_a_len=4,
+            embed_msk=False, num_classes=4, batch_size=256,
+            ray_sampling_strategy="all_images", num_epochs=1,
+            normal_epochs=0, steps_per_epoch=500, lr=1e-2,
+            density_threshold=1e-2, depth_mono=False, normal_mono=False,
+            normal_ref=False, optimize_ext=False, random_bg=False,
+            render_semantic=False, chunk_size=2048, seed=0,
+            ckpt_load=None, compute_dtype="float32", capacity=32,
+            march_iters=128, samples_per_ray=16, grid_size=32,
+            density_L=4, density_F=2, density_log2T=12, rgb_L=4,
+            rgb_F=2, rgb_log2T=12)
+
+    tr = SyntheticDataset(split="train", img_size=32, n_train=4)
+    te = SyntheticDataset(split="test", img_size=32, n_test=1)
+
+    losses = {}
+    params = {}
+    for name, mesh in (("single", None), ("dp8", make_mesh(8))):
+        system = NeRFSystem(hp(), tr, te, mesh=mesh)
+        rng = np.random.default_rng(0)
+        ls = []
+        for _ in range(3):
+            aux = system.training_step(tr.sample_batch(rng, 256))
+            ls.append(float(aux["loss"]))
+        losses[name] = ls
+        params[name] = np.asarray(system.params["model"]["density_table"])
+    np.testing.assert_allclose(losses["single"], losses["dp8"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(params["single"], params["dp8"],
+                               rtol=1e-3, atol=1e-6)
+
+
 def test_gradient_psum_equivalence():
     # data-parallel grad == single-device grad of the same global batch
     mesh = make_mesh(8)
