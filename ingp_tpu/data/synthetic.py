@@ -27,7 +27,9 @@ def trace_scene(rays_o, rays_d):
     normal (N,3), seg (N,) sphere index + 1, 0 = background)."""
     N = len(rays_o)
     best_t = np.full(N, np.inf)
-    rgb = np.ones((N, 3), np.float32)  # white background
+    # black background: consistent with the zero-background compositing
+    # of the synthetic render path (rendering.py:231-232)
+    rgb = np.zeros((N, 3), np.float32)
     normal = np.zeros((N, 3), np.float32)
     seg = np.zeros(N, np.int64)
     d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)

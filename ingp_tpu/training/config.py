@@ -107,6 +107,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "TPU-native packed rows (PERF_NOTES.md)")
     parser.add_argument("--table_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--pallas_composite", action="store_true",
+                        default=False,
+                        help="fused Pallas composite kernel (TPU)")
     return parser
 
 

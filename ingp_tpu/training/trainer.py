@@ -73,6 +73,7 @@ def render_config_from_hparams(h, test=False) -> RenderConfig:
         use_skybox=h.use_skybox,
         random_bg=h.random_bg,
         stop_header_grads=test,
+        pallas_composite=getattr(h, "pallas_composite", False),
     )
 
 

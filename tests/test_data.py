@@ -31,8 +31,8 @@ def test_trace_scene_hits():
     rd = np.array([[0, 0, 1.0]] * 3, np.float32)
     rgb, depth, hit, normal, seg = trace_scene(ro, rd)
     assert hit[0] and seg[0] == 1          # big sphere
-    assert not hit[2] and seg[2] == 0      # miss -> white bg
-    np.testing.assert_allclose(rgb[2], [1, 1, 1])
+    assert not hit[2] and seg[2] == 0      # miss -> black bg
+    np.testing.assert_allclose(rgb[2], [0, 0, 0])
     assert abs(depth[0] - (2.0 - 0.22)) < 1e-3
 
 
