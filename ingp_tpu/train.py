@@ -18,6 +18,11 @@ def main(argv=None):
     hparams = get_opts(argv)
     if hparams.val_only and not hparams.ckpt_load:
         raise ValueError("you need to provide --ckpt_load when --val_only")
+    if getattr(hparams, "debug_nans", False):
+        # debug mode replacing the reference's nan/inf sentinels
+        # (networks.py:422-426, losses.py:133-138)
+        import jax
+        jax.config.update("jax_debug_nans", True)
     np.random.seed(hparams.seed)
 
     mesh = None

@@ -110,6 +110,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--pallas_composite", action="store_true",
                         default=False,
                         help="fused Pallas composite kernel (TPU)")
+    parser.add_argument("--debug_nans", action="store_true", default=False,
+                        help="enable jax debug_nans (replaces the "
+                             "reference's check_tensor sentinels)")
     return parser
 
 
