@@ -110,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--pallas_composite", action="store_true",
                         default=False,
                         help="fused Pallas composite kernel (TPU)")
+    parser.add_argument("--sparsity_loss", type=float, default=0.0,
+                        help="global mean-sigma sparsity prior weight "
+                             "(carves unsupervised fog; not in the "
+                             "reference)")
     parser.add_argument("--debug_nans", action="store_true", default=False,
                         help="enable jax debug_nans (replaces the "
                              "reference's check_tensor sentinels)")

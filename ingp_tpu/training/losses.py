@@ -42,6 +42,11 @@ class LossConfig:
     sky_class: int = 4          # losses.py:122
     semantic_ignore: int = 256  # losses.py:87
     depth_scale: float = 1.0    # kwargs['scale'] in losses.py:131
+    # global density sparsity prior (not in the reference; DVGO-style).
+    # The fixed-capacity sample budget leaves density beyond each ray's
+    # kept prefix unsupervised; a small mean-sigma penalty on uniform
+    # points carves that fog so the budget reaches real surfaces.
+    lambda_sparsity: float = 0.0
 
 
 def annealing_weight(cfg: LossConfig, step):
@@ -131,6 +136,9 @@ def compute_losses(cfg: LossConfig, results, target, step=0, mask=None):
         sky_mask = (label == cfg.sky_class).astype(jnp.float32)
         d["sky_depth"] = cfg.lambda_sky * sky_mask \
             * jnp.exp(-results["depth"])
+
+    if cfg.lambda_sparsity > 0 and "sparsity" in results:
+        d["sparsity"] = cfg.lambda_sparsity * results["sparsity"]
 
     if cfg.depth_mono:
         depth_2d = target["depth"] / 25.0                 # losses.py:126

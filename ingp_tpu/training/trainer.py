@@ -79,6 +79,7 @@ def render_config_from_hparams(h, test=False) -> RenderConfig:
 
 def loss_config_from_hparams(h) -> LossConfig:
     return LossConfig(
+        lambda_sparsity=getattr(h, "sparsity_loss", 0.0),
         embed_msk=h.embed_msk,
         normal_ref=h.normal_ref,
         normal_mono=h.normal_mono,
@@ -225,6 +226,14 @@ class NeRFSystem:
                     rays_o, rays_d, noise, embedding_a=emb,
                     exposure=batch.get("exposure"), bg_color=bg,
                     skybox_gate=gate)
+
+                if loss_cfg.lambda_sparsity > 0:
+                    k_sp = jax.random.fold_in(key, 7)
+                    pts = jax.random.uniform(
+                        k_sp, (16384, 3), minval=-model_cfg.scale,
+                        maxval=model_cfg.scale)
+                    from ..models.ngp import ngp_sigma as _sig
+                    results["sparsity"] = _sig(model_cfg, p["model"], pts)
 
                 mask = None
                 if use_msk:  # train.py:280-288 (uvi shifted into [0,1])
