@@ -68,7 +68,7 @@ def render_config_from_hparams(h, test=False) -> RenderConfig:
         T_threshold=1e-2 if test else 1e-4,   # render.py:125 / rendering.py:227
         max_samples=MAX_SAMPLES,
         capacity=getattr(h, "capacity", 192),
-        march_iters=getattr(h, "march_iters", 640),
+        march_iters=getattr(h, "march_iters", 1024),
         samples_per_ray=getattr(h, "samples_per_ray", 48),
         use_skybox=h.use_skybox,
         random_bg=h.random_bg,
