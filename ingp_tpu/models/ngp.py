@@ -227,7 +227,14 @@ def ngp_grad(cfg: NGPConfig, params, x):
 
 
 def _safe_normalize(v, eps=1e-6):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+    """Smooth normalize v/sqrt(|v|^2 + eps^2): same values as the
+    reference's F.normalize(eps=1e-6) away from zero, but with a bounded
+    backward everywhere — the max(|v|, eps) form amplifies cotangents by
+    1/eps near |v|=0 (empty space has near-zero density gradients),
+    which overflows bf16 training through the Ref-NeRF loss."""
+    v32 = v.astype(jnp.float32)
+    n2 = jnp.sum(v32 * v32, axis=-1, keepdims=True)
+    return v32 * jax.lax.rsqrt(n2 + eps * eps)
 
 
 def log_radiance_to_rgb(cfg: NGPConfig, params, log_radiances,
