@@ -316,8 +316,14 @@ class NeRFSystem:
 
     # ------------------------------------------------------------------
     def render_image(self, pose, chunk_size=None, embedding=None):
-        """Chunked whole-image test render (train.py:177-190)."""
+        """Chunked whole-image test render (train.py:177-190).
+
+        The chunk is capped so the per-chunk network batch
+        (chunk * samples_per_ray) stays within a safe HBM envelope
+        (a 65536-ray chunk at samples_per_ray=48 OOMs a v5e)."""
         chunk = chunk_size or self.hparams.chunk_size
+        spr = max(self.render_cfg_test.samples_per_ray, 1)
+        chunk = min(chunk, max(1_500_000 // spr, 4096))
         pose = jnp.asarray(pose)
         rays_o, rays_d = get_rays(self.directions, pose)
         n = rays_o.shape[0]
