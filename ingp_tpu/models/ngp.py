@@ -64,7 +64,11 @@ class NGPConfig:
     compute_dtype: str = "float32"  # MLP matmul dtype ("bfloat16" on TPU)
     # encoder backend: "hash" = tcnn-layout parity (8 corner gathers);
     # "brick" = TPU-native brick-packed rows, ~8x fewer gather indices
-    # (ops/brickgrid.py; see PERF_NOTES.md for the measured rationale)
+    # (ops/brickgrid.py); "fused" = brick layout with the density and rgb
+    # features co-located in ONE table row, halving the gather/scatter
+    # index count again — gather rate is index-limited, not byte-limited
+    # (measured: 512-lane rows gather at 1.32x the cost of 256-lane, so
+    # one fused fetch beats two split fetches 1.5x; PERF_NOTES.md)
     encoder: str = "hash"
     table_dtype: str = "float32"    # feature tables ("bfloat16" halves
     #                                 the gathered row bytes)
@@ -114,6 +118,23 @@ class NGPConfig:
                 self.scale, self.rgb_L, self.base_res))
 
     @property
+    def fused_brick_cfg(self) -> BrickGridConfig:
+        """One table holding [density_F | rgb_F] features per lattice
+        point. Both reference grids share L and the per-level scale
+        (networks.py:36-52 vs 63-76), so the row/index computation is
+        identical — only the feature payload widens. Brick count follows
+        the larger (rgb) table."""
+        assert self.density_L == self.rgb_L, \
+            "fused encoder requires density_L == rgb_L"
+        return BrickGridConfig(
+            n_levels=self.rgb_L,
+            n_features=self.density_F + self.rgb_F,
+            log2_bricks=max(self.rgb_log2T - 5, 8),
+            base_resolution=self.base_res,
+            per_level_scale=per_level_scale_for(
+                self.scale, self.rgb_L, self.base_res))
+
+    @property
     def rgb_in_dim(self) -> int:
         d = self.sh_degree ** 2 + self.rgb_L * self.rgb_F
         return d + (self.embed_a_len if self.embed_a else 0)
@@ -126,19 +147,26 @@ class NGPConfig:
 def ngp_init(key, cfg: NGPConfig):
     keys = jax.random.split(key, 10)
     tdt = jnp.dtype(cfg.table_dtype)
-    if cfg.encoder == "brick":
-        density_table = brickgrid_init(keys[0], cfg.density_brick_cfg,
-                                       dtype=tdt)
-        rgb_table = brickgrid_init(keys[2], cfg.rgb_brick_cfg, dtype=tdt)
+    if cfg.encoder == "fused":
+        tables = {"grid_table": brickgrid_init(keys[0],
+                                               cfg.fused_brick_cfg,
+                                               dtype=tdt)}
+    elif cfg.encoder == "brick":
+        tables = {
+            "density_table": brickgrid_init(keys[0], cfg.density_brick_cfg,
+                                            dtype=tdt),
+            "rgb_table": brickgrid_init(keys[2], cfg.rgb_brick_cfg,
+                                        dtype=tdt)}
     else:
-        density_table = hashgrid_init(keys[0], cfg.density_grid_cfg,
-                                      dtype=tdt)
-        rgb_table = hashgrid_init(keys[2], cfg.rgb_grid_cfg, dtype=tdt)
+        tables = {
+            "density_table": hashgrid_init(keys[0], cfg.density_grid_cfg,
+                                           dtype=tdt),
+            "rgb_table": hashgrid_init(keys[2], cfg.rgb_grid_cfg,
+                                       dtype=tdt)}
     params = {
-        "density_table": density_table,
+        **tables,
         "xyz_net": mlp_init(keys[1],
                             (cfg.density_grid_cfg.out_dim, 128, 1)),
-        "rgb_table": rgb_table,
         "rgb_net": mlp_init(keys[3], (cfg.rgb_in_dim, 128, 3)),
         "norm_net": mlp_init(keys[4], (cfg.rgb_grid_cfg.out_dim, 32, 3)),
         "sem_net": mlp_init(keys[5],
@@ -158,7 +186,21 @@ def _normalize_coords(cfg: NGPConfig, x):
     return (x + cfg.scale) / (2.0 * cfg.scale)
 
 
+def _split_fused(cfg: NGPConfig, feats):
+    """(N, L*(Fd+Fr)) level-major fused features -> (density, rgb)."""
+    N = feats.shape[0]
+    L, Fd, Fr = cfg.rgb_L, cfg.density_F, cfg.rgb_F
+    f = feats.reshape(N, L, Fd + Fr)
+    return (f[:, :, :Fd].reshape(N, L * Fd),
+            f[:, :, Fd:].reshape(N, L * Fr))
+
+
 def _encode_density(cfg: NGPConfig, params, u):
+    if cfg.encoder == "fused":
+        feats = brickgrid_encode(cfg.fused_brick_cfg,
+                                 params["grid_table"], u,
+                                 remat=cfg.encode_remat)
+        return _split_fused(cfg, feats)[0]
     if cfg.encoder == "brick":
         return brickgrid_encode(cfg.density_brick_cfg,
                                 params["density_table"], u,
@@ -168,6 +210,11 @@ def _encode_density(cfg: NGPConfig, params, u):
 
 
 def _encode_rgb(cfg: NGPConfig, params, u):
+    if cfg.encoder == "fused":
+        feats = brickgrid_encode(cfg.fused_brick_cfg,
+                                 params["grid_table"], u,
+                                 remat=cfg.encode_remat)
+        return _split_fused(cfg, feats)[1]
     if cfg.encoder == "brick":
         return brickgrid_encode(cfg.rgb_brick_cfg, params["rgb_table"], u,
                                 remat=cfg.encode_remat)
@@ -207,7 +254,16 @@ def ngp_grad(cfg: NGPConfig, params, x):
     of the encoder graph. Everything stays differentiable w.r.t. params
     (the reference's create_graph double backward)."""
     u = _normalize_coords(cfg, x)
-    if cfg.encoder == "brick":
+    feat_rgb = None
+    if cfg.encoder == "fused":
+        # ONE gather pass produces density features + density jacobian
+        # + rgb features (the whole reason the fused layout exists)
+        from ..ops.brickgrid import brickgrid_encode_grad
+        fused, jac = brickgrid_encode_grad(
+            cfg.fused_brick_cfg, params["grid_table"], u,
+            remat=cfg.encode_remat, jac_lo=0, jac_hi=cfg.density_F)
+        feats, feat_rgb = _split_fused(cfg, fused)
+    elif cfg.encoder == "brick":
         from ..ops.brickgrid import brickgrid_encode_grad
         feats, jac = brickgrid_encode_grad(cfg.density_brick_cfg,
                                            params["density_table"], u,
@@ -222,7 +278,8 @@ def ngp_grad(cfg: NGPConfig, params, x):
     dfeat = mlp_vjp(jax.nn.sigmoid(raw))[0]       # d softplus = sigmoid
     # du/dx = 1/(2*scale) from _normalize_coords
     grads = jnp.einsum("dnf,nf->nd", jac, dfeat) / (2.0 * cfg.scale)
-    feat_rgb = ngp_rgb_feat(cfg, params, x)
+    if feat_rgb is None:
+        feat_rgb = ngp_rgb_feat(cfg, params, x)
     return sigmas, feat_rgb, grads
 
 

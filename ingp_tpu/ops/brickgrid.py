@@ -104,13 +104,17 @@ def brickgrid_init(key, cfg: BrickGridConfig, dtype=jnp.float32):
         maxval=1e-4, dtype=jnp.float32).astype(dtype)
 
 
-def _select_matrix(cfg: BrickGridConfig) -> np.ndarray:
-    """(row_width, F) static matrix: lane q = 8*p + f -> feature f."""
+def _select_matrix(cfg: BrickGridConfig, f_lo: int = 0,
+                   f_hi: int | None = None) -> np.ndarray:
+    """(row_width, f_hi-f_lo) static matrix: lane q = F*p + f -> output
+    feature f-f_lo. The optional feature window lets callers reduce only
+    a slice of the per-point features (fused-table jacobians)."""
     W, F = cfg.row_width, cfg.n_features
-    S = np.zeros((W, F), np.float32)
+    f_hi = F if f_hi is None else f_hi
+    S = np.zeros((W, f_hi - f_lo), np.float32)
     for p in range(cfg.lattice_pts):
-        for f in range(F):
-            S[p * F + f, f] = 1.0
+        for f in range(f_lo, f_hi):
+            S[p * F + f, f - f_lo] = 1.0
     return S
 
 
@@ -207,26 +211,34 @@ def brickgrid_encode(cfg: BrickGridConfig, table: jnp.ndarray,
                          ).reshape(N, L * F)
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk", "remat"))
+@partial(jax.jit, static_argnames=("cfg", "chunk", "remat", "jac_lo",
+                                   "jac_hi"))
 def brickgrid_encode_grad(cfg: BrickGridConfig, table: jnp.ndarray,
                           x: jnp.ndarray, chunk: int = 16384,
-                          remat: bool = True):
+                          remat: bool = True, jac_lo: int = 0,
+                          jac_hi: int | None = None):
     """Encode + analytic d(feat)/dx in the same single-gather pass
     (brick analog of ops/hashgrid.hashgrid_encode_grad).
 
-    Returns (feats (N, L*F), jac (3, N, L*F)).
+    jac_lo/jac_hi restrict the jacobian to a per-point feature window
+    (fused density+rgb tables only need d/dx of the density features).
+
+    Returns (feats (N, L*F), jac (3, N, L*Fj)) with Fj = jac_hi-jac_lo.
     """
     N = x.shape[0]
     L, F = cfg.n_levels, cfg.n_features
+    Fj = (F if jac_hi is None else jac_hi) - jac_lo
     if N > chunk:
         pad = (-N) % chunk
         xp = jnp.pad(x, ((0, pad), (0, 0)))
-        body = lambda c: brickgrid_encode_grad(cfg, table, c, chunk)
+        body = lambda c: brickgrid_encode_grad(cfg, table, c, chunk,
+                                               jac_lo=jac_lo,
+                                               jac_hi=jac_hi)
         if remat:
             body = jax.checkpoint(body)
         feats, jac = jax.lax.map(body, xp.reshape(-1, chunk, 3))
         return (feats.reshape(-1, L * F)[:N],
-                jnp.moveaxis(jac, 1, 0).reshape(3, -1, L * F)[:, :N])
+                jnp.moveaxis(jac, 1, 0).reshape(3, -1, L * Fj)[:, :N])
 
     B = cfg.brick_size
     scales = jnp.asarray(cfg.scales, jnp.float32)
@@ -273,15 +285,17 @@ def brickgrid_encode_grad(cfg: BrickGridConfig, table: jnp.ndarray,
     wz, dwz = axis_parts(lk, local[2], frac[2])
 
     S = jnp.asarray(_select_matrix(cfg))
+    Sj = S if (jac_lo, jac_hi) == (0, None) else \
+        jnp.asarray(_select_matrix(cfg, jac_lo, jac_hi))
     sc = jnp.repeat(scales, N)[:, None]    # d frac / d x per row
 
-    def reduce(wprod):
-        out = jnp.dot(g * wprod, S, preferred_element_type=jnp.float32)
-        return jnp.transpose(out.reshape(L, N, F), (1, 0, 2)
-                             ).reshape(N, L * F)
+    def reduce(wprod, Smat, Fo):
+        out = jnp.dot(g * wprod, Smat, preferred_element_type=jnp.float32)
+        return jnp.transpose(out.reshape(L, N, Fo), (1, 0, 2)
+                             ).reshape(N, L * Fo)
 
-    feats = reduce(wx * wy * wz)
-    jac = jnp.stack([reduce(dwx * wy * wz * sc),
-                     reduce(wx * dwy * wz * sc),
-                     reduce(wx * wy * dwz * sc)])
+    feats = reduce(wx * wy * wz, S, F)
+    jac = jnp.stack([reduce(dwx * wy * wz * sc, Sj, Fj),
+                     reduce(wx * dwy * wz * sc, Sj, Fj),
+                     reduce(wx * wy * dwz * sc, Sj, Fj)])
     return feats, jac

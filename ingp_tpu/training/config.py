@@ -102,9 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--rgb_F", type=int, default=8)
     parser.add_argument("--rgb_log2T", type=int, default=21)
     parser.add_argument("--encoder", type=str, default="hash",
-                        choices=["hash", "brick"],
+                        choices=["hash", "brick", "fused"],
                         help="hash = tcnn-layout parity; brick = "
-                             "TPU-native packed rows (PERF_NOTES.md)")
+                             "TPU-native packed rows; fused = brick with "
+                             "density+rgb features in one table row "
+                             "(fastest; PERF_NOTES.md)")
     parser.add_argument("--table_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--pallas_composite", action="store_true",

@@ -84,3 +84,64 @@ def test_skybox():
     rgb = ngp_forward_skybox(cfg, params, d)
     assert rgb.shape == (16, 3)
     assert np.all((np.asarray(rgb) >= 0) & (np.asarray(rgb) <= 1))
+
+
+def test_fused_encoder_grad_matches_ad():
+    # fused table: one gather serves density feats + jacobian + rgb feats
+    cfg = small_cfg(encoder="fused")
+    params = ngp_init(jax.random.PRNGKey(0), cfg)
+    assert "grid_table" in params and "density_table" not in params
+    params["grid_table"] = params["grid_table"] * 1e3
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3),
+                           minval=-0.45, maxval=0.45)
+    sig, feat, grads = ngp_grad(cfg, params, x)
+    assert feat.shape == (32, cfg.rgb_L * cfg.rgb_F)
+    sig_ad, vjp = jax.vjp(lambda xx: ngp_sigma(cfg, params, xx), x)
+    grads_ad = vjp(jnp.ones_like(sig_ad))[0]
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_ad),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grads), np.asarray(grads_ad),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_fused_encoder_rgb_feat_consistent():
+    # the rgb features from the fused ngp_grad pass must equal the
+    # standalone rgb encode of the same table
+    from ingp_tpu.models.ngp import ngp_rgb_feat
+    cfg = small_cfg(encoder="fused")
+    params = ngp_init(jax.random.PRNGKey(3), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (16, 3),
+                           minval=-0.4, maxval=0.4)
+    _, feat_fused, _ = ngp_grad(cfg, params, x)
+    feat_direct = ngp_rgb_feat(cfg, params, x)
+    np.testing.assert_allclose(np.asarray(feat_fused),
+                               np.asarray(feat_direct), rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_fused_encoder_second_order():
+    cfg = small_cfg(encoder="fused")
+    params = ngp_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3),
+                           minval=-0.4, maxval=0.4)
+
+    def loss(p):
+        _, feat, grads = ngp_grad(cfg, p, x)
+        return jnp.sum(grads ** 2) + jnp.sum(feat ** 2)
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(np.asarray(g["grid_table"])).all()
+    assert float(jnp.abs(g["grid_table"]).sum()) > 0
+
+
+def test_fused_full_forward():
+    cfg = small_cfg(encoder="fused")
+    params = ngp_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3),
+                           minval=-0.4, maxval=0.4)
+    d = jax.random.normal(jax.random.PRNGKey(2), (16, 3))
+    sig, rgb, nraw, npred, sem = ngp_forward(cfg, params, x, d)
+    assert sig.shape == (16,) and rgb.shape == (16, 3)
+    assert sem.shape == (16, cfg.classes)
+    for a in (sig, rgb, nraw, npred, sem):
+        assert np.isfinite(np.asarray(a)).all()
