@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.pack import packbits_u32
+from ..ops.march import build_block_table
 
 NEAR_DISTANCE = 0.01  # models/rendering.py:10
 
@@ -52,6 +53,10 @@ def grid_init(cascades: int, grid_size: int):
         "density_grid": jnp.zeros((cascades, g3), jnp.float32),
         "count_grid": jnp.zeros((cascades, g3), jnp.float32),
         "bitfield": jnp.zeros((cascades * g3 // 32,), jnp.uint32),
+        # neighborhood rows for the block marcher (ops/march.py); zeros
+        # are consistent with an all-empty bitfield
+        "block_table": jnp.zeros(
+            (cascades, (grid_size // 4) ** 3, 128), jnp.uint32),
     }
 
 
@@ -104,6 +109,7 @@ def mark_invisible_cells(grid, K, poses, img_w: int, img_h: int,
         "density_grid": jnp.stack(density),
         "count_grid": jnp.stack(counts),
         "bitfield": grid["bitfield"],
+        "block_table": grid["block_table"],
     }
 
 
@@ -196,4 +202,5 @@ def update_density_grid(density_fn, params, grid, key, density_threshold,
         "density_grid": new_dg,
         "count_grid": grid["count_grid"],
         "bitfield": bitfield,
+        "block_table": build_block_table(bitfield, grid_size, cascades),
     }

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.intersect import ray_aabb_intersect
-from ..ops.march import MarchConfig, march_rays_lattice
+from ..ops.march import MarchConfig, march_rays_lattice, march_rays_block
 from ..ops.composite import composite_rays, distortion_loss, ref_loss
 from ..ops.pack import (
     compact_samples, gather_samples, scatter_back, ray_ids_for,
@@ -72,7 +72,8 @@ def clamp_near(hits_t):
 @partial(jax.jit, static_argnames=("model_cfg", "render_cfg"))
 def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
                 bitfield, rays_o, rays_d, noise, embedding_a=None,
-                exposure=None, bg_color=None, skybox_gate=1.0):
+                exposure=None, bg_color=None, skybox_gate=1.0,
+                block_table=None):
     """Render a batch of rays end to end (one jitted graph).
 
     Args:
@@ -96,10 +97,18 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
     hits_t = clamp_near(ray_aabb_intersect(
         rays_o, rays_d, jnp.zeros(3), jnp.full((3,), model_cfg.scale)))
 
-    march = march_rays_lattice(render_cfg.march_cfg(model_cfg), bitfield,
-                               jax.lax.stop_gradient(rays_o),
-                               jax.lax.stop_gradient(rays_d), hits_t,
-                               noise)
+    if block_table is not None:
+        march = march_rays_block(render_cfg.march_cfg(model_cfg),
+                                 block_table,
+                                 jax.lax.stop_gradient(rays_o),
+                                 jax.lax.stop_gradient(rays_d), hits_t,
+                                 noise)
+    else:
+        march = march_rays_lattice(render_cfg.march_cfg(model_cfg),
+                                   bitfield,
+                                   jax.lax.stop_gradient(rays_o),
+                                   jax.lax.stop_gradient(rays_d), hits_t,
+                                   noise)
     ts, deltas, valid = march["ts"], march["deltas"], march["valid"]
 
     # ragged -> fixed: pack valid samples into a (K,) network batch
@@ -186,7 +195,7 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
 @partial(jax.jit, static_argnames=("model_cfg", "render_cfg"))
 def render_rays_test(model_cfg: NGPConfig, render_cfg: RenderConfig,
                      params, bitfield, rays_o, rays_d, embedding_a=None,
-                     exposure=None):
+                     exposure=None, block_table=None):
     """Inference rendering (no noise, no loss terms, normalized outputs).
 
     TPU form of the reference's early ray termination (the alive-ray
@@ -199,7 +208,8 @@ def render_rays_test(model_cfg: NGPConfig, render_cfg: RenderConfig,
     normal outputs re-normalized, semantics argmaxed, hit points returned.
     """
     res = _render_rays_test_inner(model_cfg, render_cfg, params, bitfield,
-                                  rays_o, rays_d, embedding_a, exposure)
+                                  rays_o, rays_d, embedding_a, exposure,
+                                  block_table)
 
     def norm(v):
         return v / jnp.maximum(
@@ -220,7 +230,8 @@ def render_rays_test(model_cfg: NGPConfig, render_cfg: RenderConfig,
 
 
 def _render_rays_test_inner(model_cfg, render_cfg, params, bitfield,
-                            rays_o, rays_d, embedding_a, exposure):
+                            rays_o, rays_d, embedding_a, exposure,
+                            block_table=None):
     from ..ops.composite import render_weights
     from .ngp import ngp_sigma
 
@@ -230,9 +241,14 @@ def _render_rays_test_inner(model_cfg, render_cfg, params, bitfield,
 
     hits_t = clamp_near(ray_aabb_intersect(
         rays_o, rays_d, jnp.zeros(3), jnp.full((3,), model_cfg.scale)))
-    march = march_rays_lattice(render_cfg.march_cfg(model_cfg), bitfield,
-                               rays_o, rays_d, hits_t,
-                               jnp.zeros(R))
+    if block_table is not None:
+        march = march_rays_block(render_cfg.march_cfg(model_cfg),
+                                 block_table, rays_o, rays_d, hits_t,
+                                 jnp.zeros(R))
+    else:
+        march = march_rays_lattice(render_cfg.march_cfg(model_cfg),
+                                   bitfield, rays_o, rays_d, hits_t,
+                                   jnp.zeros(R))
     ts, deltas, valid = march["ts"], march["deltas"], march["valid"]
 
     # ---- phase 1: sigma-only prepass on every occupied sample --------

@@ -38,15 +38,16 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def shard_step(step_fn, mesh: Mesh):
-    """Compile step_fn(params, opt_state, bitfield, directions, poses,
-    batch, step, key) with the ray batch sharded over ('data',) and
-    everything else replicated. Gradient reduction is inserted by XLA.
+    """Compile step_fn(params, opt_state, bitfield, block_table,
+    directions, poses, batch, step, key) with the ray batch sharded over
+    ('data',) and everything else replicated. Gradient reduction is
+    inserted by XLA.
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     return jax.jit(
         step_fn,
         donate_argnums=(0, 1),
-        in_shardings=(repl, repl, repl, repl, repl, data, repl, repl),
+        in_shardings=(repl, repl, repl, repl, repl, repl, data, repl, repl),
         out_shardings=(repl, repl, repl),
     )

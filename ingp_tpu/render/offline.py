@@ -20,7 +20,7 @@ from ..utils.frame_embedding import FrameEmbedding
 
 
 def render_chunks(model_cfg, render_cfg, params, bitfield, rays_o, rays_d,
-                  chunk_size=131072, embedding_a=None):
+                  chunk_size=131072, embedding_a=None, block_table=None):
     """Chunked test render of arbitrary ray arrays (render.py:33-48)."""
     n = rays_o.shape[0]
     outs = []
@@ -38,7 +38,8 @@ def render_chunks(model_cfg, render_cfg, params, bitfield, rays_o, rays_d,
             emb = jnp.broadcast_to(jnp.asarray(embedding_a),
                                    (ro.shape[0], embedding_a.shape[-1]))
         res = render_rays_test(model_cfg, render_cfg, params, bitfield,
-                               ro, rd, embedding_a=emb)
+                               ro, rd, embedding_a=emb,
+                               block_table=block_table)
         if pad:
             res = {k: (v[:-pad] if hasattr(v, "ndim") and v.ndim >= 1
                        and v.shape[0] == ro.shape[0] else v)
@@ -68,6 +69,7 @@ def render_for_test(hparams, split="test", system=None):
     render_cfg = system.render_cfg_test
     params = system.params["model"]
     bitfield = system.grid["bitfield"]
+    block_table = system._march_table()
     dataset = system.test_dataset
     w, h = dataset.img_wh
 
@@ -107,7 +109,8 @@ def render_for_test(hparams, split="test", system=None):
                             mode="mean")
         res = render_chunks(model_cfg, render_cfg, params, bitfield,
                             np.asarray(rays_o), np.asarray(rays_d),
-                            hparams.chunk_size, embedding_a=emb)
+                            hparams.chunk_size, embedding_a=emb,
+                            block_table=block_table)
 
         if aa > 1.0:
             import cv2

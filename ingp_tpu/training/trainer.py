@@ -199,8 +199,8 @@ class NeRFSystem:
         unit_exposure_rgb = getattr(self.train_dataset,
                                     "unit_exposure_rgb", None)
 
-        def step_fn(params, opt_state, bitfield, directions, poses,
-                    batch, step, key):
+        def step_fn(params, opt_state, bitfield, block_table, directions,
+                    poses, batch, step, key):
             def loss_fn(p):
                 dirs = directions[batch["pix_idxs"]]
                 pose = poses[batch["img_idxs"]]
@@ -225,7 +225,7 @@ class NeRFSystem:
                     model_cfg, render_cfg, p["model"], bitfield,
                     rays_o, rays_d, noise, embedding_a=emb,
                     exposure=batch.get("exposure"), bg_color=bg,
-                    skybox_gate=gate)
+                    skybox_gate=gate, block_table=block_table)
 
                 if loss_cfg.lambda_sparsity > 0:
                     k_sp = jax.random.fold_in(key, 7)
@@ -292,6 +292,17 @@ class NeRFSystem:
         self._grid_update = grid_update
 
     # ------------------------------------------------------------------
+    def _march_table(self):
+        """Neighborhood rows for the block marcher, or None to use the
+        per-point lattice marcher. The block marcher is exact for the
+        constant-dt lattice (exp_step_factor == 0) and conservative
+        (never drops samples) otherwise; exp-stepped scenes keep the
+        lattice path until the short-run variant is validated on
+        them."""
+        if self.render_cfg.exp_step_factor == 0.0:
+            return self.grid.get("block_table")
+        return None
+
     def maybe_update_grid(self):
         if self.global_step % self.UPDATE_INTERVAL == 0:
             self.grid = self._grid_update(
@@ -309,7 +320,7 @@ class NeRFSystem:
             else jax.random.PRNGKey(self.global_step + 1)
         self.params, self.opt_state, aux = self.train_step(
             self.params, self.opt_state, self.grid["bitfield"],
-            self.directions, self.poses, dev_batch,
+            self._march_table(), self.directions, self.poses, dev_batch,
             jnp.int32(self.global_step), key)
         self.global_step += 1
         return aux
@@ -346,7 +357,8 @@ class NeRFSystem:
             res = render_rays_test(self.model_cfg, self.render_cfg_test,
                                    self.params["model"],
                                    self.grid["bitfield"], ro, rd,
-                                   embedding_a=emb)
+                                   embedding_a=emb,
+                                   block_table=self._march_table())
             if pad:
                 res = {k: v[:-pad] if hasattr(v, "shape") and v.ndim >= 1
                        and v.shape[0] == chunk else v
@@ -504,4 +516,9 @@ class NeRFSystem:
                 pass  # slim ckpt: keep fresh optimizer
         if "grid" in state:
             self.grid = jax.tree.map(jnp.asarray, state["grid"])
+            if "block_table" not in self.grid:
+                from ..ops.march import build_block_table
+                self.grid["block_table"] = build_block_table(
+                    self.grid["bitfield"], self.model_cfg.grid_size,
+                    self.model_cfg.cascades)
         self.global_step = int(state.get("step", 0))
