@@ -186,7 +186,7 @@ def main():
 
     # --- grid update ---
     gfn = jax.jit(lambda p: sys_._grid_update(
-        p, sys_.grid, jax.random.PRNGKey(0), False)["density"])
+        p, sys_.grid, jax.random.PRNGKey(0), False)["density_grid"])
     t = timeit(gfn, params["model"], n=4)
     print(f"grid update (steady)      : {t*1e3:9.2f} ms "
           f"(amortized /16: {t*1e3/16:.2f} ms)", flush=True)

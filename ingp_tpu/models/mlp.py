@@ -52,3 +52,37 @@ def mlp_apply(layers, x, hidden_act="relu", out_act="none",
         if i < n - 1:
             h = h.astype(compute_dtype)
     return h
+
+
+def mlp_apply_cm(layers, x, hidden_act="relu", out_act="none",
+                 compute_dtype=jnp.float32, x_cm=False):
+    """Channel-major MLP: activations are (features, N) with the point
+    axis on TPU lanes.
+
+    A (N, out) result with out < 128 (3-wide normals, 7-wide semantics,
+    1-wide sigma) pads to (N, 128) in HBM — 18-42x wasted bandwidth.
+    Contracting the weight's input axis against the feature axis of the
+    activations directly (dot_general, no physical transpose) keeps
+    every intermediate and the output dense.
+
+    Args:
+      x: (N, in) sample-major by default, or (in, N) when x_cm=True.
+
+    Returns (out, N).
+    """
+    h_act, o_act = _ACTS[hidden_act], _ACTS[out_act]
+    h = x.astype(compute_dtype)
+    n = len(layers)
+    for i, lyr in enumerate(layers):
+        w = lyr["w"].astype(compute_dtype)             # (in, out)
+        if i == 0 and not x_cm:
+            h = jnp.einsum("fh,nf->hn", w, h,
+                           preferred_element_type=jnp.float32)
+        else:
+            h = jnp.einsum("fh,fn->hn", w, h,
+                           preferred_element_type=jnp.float32)
+        h = h + lyr["b"].astype(jnp.float32)[:, None]
+        h = h_act(h) if i < n - 1 else o_act(h)
+        if i < n - 1:
+            h = h.astype(compute_dtype)
+    return h

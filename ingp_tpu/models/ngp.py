@@ -36,10 +36,10 @@ from ..ops.hashgrid import (
 from ..ops.brickgrid import (
     BrickGridConfig, brickgrid_init, brickgrid_encode,
 )
-from ..ops.sh import sh_encode
+from ..ops.sh import sh_encode, sh_encode_cm
 from ..ops.activations import trunc_exp
 from ..core.cascade import n_cascades
-from .mlp import mlp_init, mlp_apply
+from .mlp import mlp_init, mlp_apply, mlp_apply_cm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,8 +70,11 @@ class NGPConfig:
     # (measured: 512-lane rows gather at 1.32x the cost of 256-lane, so
     # one fused fetch beats two split fetches 1.5x; PERF_NOTES.md)
     encoder: str = "hash"
-    table_dtype: str = "float32"    # feature tables ("bfloat16" halves
-    #                                 the gathered row bytes)
+    table_dtype: str = "float32"    # table *gather/storage* dtype
+    # ("bfloat16" halves the gathered row bytes). Parameters themselves
+    # always stay float32 masters — Adam moments and the backward
+    # scatter-add accumulate at full precision (ops/gather.py); only the
+    # per-step read copy is low-precision.
     encode_remat: bool = True       # recompute encode gathers in bwd
     #                                 (False trades HBM for a pass)
 
@@ -146,23 +149,20 @@ class NGPConfig:
 
 def ngp_init(key, cfg: NGPConfig):
     keys = jax.random.split(key, 10)
-    tdt = jnp.dtype(cfg.table_dtype)
+    # tables are f32 masters regardless of cfg.table_dtype (which only
+    # sets the per-step gather storage dtype — see NGPConfig)
     if cfg.encoder == "fused":
         tables = {"grid_table": brickgrid_init(keys[0],
-                                               cfg.fused_brick_cfg,
-                                               dtype=tdt)}
+                                               cfg.fused_brick_cfg)}
     elif cfg.encoder == "brick":
         tables = {
-            "density_table": brickgrid_init(keys[0], cfg.density_brick_cfg,
-                                            dtype=tdt),
-            "rgb_table": brickgrid_init(keys[2], cfg.rgb_brick_cfg,
-                                        dtype=tdt)}
+            "density_table": brickgrid_init(keys[0],
+                                            cfg.density_brick_cfg),
+            "rgb_table": brickgrid_init(keys[2], cfg.rgb_brick_cfg)}
     else:
         tables = {
-            "density_table": hashgrid_init(keys[0], cfg.density_grid_cfg,
-                                           dtype=tdt),
-            "rgb_table": hashgrid_init(keys[2], cfg.rgb_grid_cfg,
-                                       dtype=tdt)}
+            "density_table": hashgrid_init(keys[0], cfg.density_grid_cfg),
+            "rgb_table": hashgrid_init(keys[2], cfg.rgb_grid_cfg)}
     params = {
         **tables,
         "xyz_net": mlp_init(keys[1],
@@ -195,40 +195,58 @@ def _split_fused(cfg: NGPConfig, feats):
             f[:, :, Fd:].reshape(N, L * Fr))
 
 
-def _encode_density(cfg: NGPConfig, params, u):
+def _storage_dt(cfg: NGPConfig):
+    return None if cfg.table_dtype == "float32" else cfg.table_dtype
+
+
+def _encode_density(cfg: NGPConfig, params, u, x_cm=False):
+    sd = _storage_dt(cfg)
     if cfg.encoder == "fused":
         feats = brickgrid_encode(cfg.fused_brick_cfg,
                                  params["grid_table"], u,
-                                 remat=cfg.encode_remat)
+                                 remat=cfg.encode_remat,
+                                 storage_dtype=sd, x_cm=x_cm)
         return _split_fused(cfg, feats)[0]
     if cfg.encoder == "brick":
         return brickgrid_encode(cfg.density_brick_cfg,
                                 params["density_table"], u,
-                                remat=cfg.encode_remat)
+                                remat=cfg.encode_remat,
+                                storage_dtype=sd, x_cm=x_cm)
     return hashgrid_encode(cfg.density_grid_cfg,
-                           params["density_table"], u)
+                           params["density_table"], u, storage_dtype=sd,
+                           x_cm=x_cm)
 
 
-def _encode_rgb(cfg: NGPConfig, params, u):
+def _encode_rgb(cfg: NGPConfig, params, u, x_cm=False):
+    sd = _storage_dt(cfg)
     if cfg.encoder == "fused":
         feats = brickgrid_encode(cfg.fused_brick_cfg,
                                  params["grid_table"], u,
-                                 remat=cfg.encode_remat)
+                                 remat=cfg.encode_remat,
+                                 storage_dtype=sd, x_cm=x_cm)
         return _split_fused(cfg, feats)[1]
     if cfg.encoder == "brick":
         return brickgrid_encode(cfg.rgb_brick_cfg, params["rgb_table"], u,
-                                remat=cfg.encode_remat)
-    return hashgrid_encode(cfg.rgb_grid_cfg, params["rgb_table"], u)
+                                remat=cfg.encode_remat, storage_dtype=sd,
+                                x_cm=x_cm)
+    return hashgrid_encode(cfg.rgb_grid_cfg, params["rgb_table"], u,
+                           storage_dtype=sd, x_cm=x_cm)
+
+
+def ngp_sigma_cm(cfg: NGPConfig, params, x_cm):
+    """Density only, channel-major: x_cm (3, N) world coords -> (N,)
+    sigma (networks.py:165-184)."""
+    u = _normalize_coords(cfg, x_cm)
+    h = _encode_density(cfg, params, u, x_cm=True)
+    raw = mlp_apply_cm(params["xyz_net"], h, "softplus", "none",
+                       cfg.dtype)[0]
+    return jax.nn.softplus(raw)
 
 
 def ngp_sigma(cfg: NGPConfig, params, x):
     """Density only: grid-enc -> 128 Softplus MLP -> Softplus sigma
     (networks.py:165-184). x: (N, 3) world coords. Returns (N,)."""
-    u = _normalize_coords(cfg, x)
-    h = _encode_density(cfg, params, u)
-    raw = mlp_apply(params["xyz_net"], h, "softplus", "none",
-                    cfg.dtype)[:, 0]
-    return jax.nn.softplus(raw)
+    return ngp_sigma_cm(cfg, params, x.T)
 
 
 def ngp_rgb_feat(cfg: NGPConfig, params, x):
@@ -244,8 +262,9 @@ def ngp_density(cfg: NGPConfig, params, x, return_feat=False):
     return sigmas
 
 
-def ngp_grad(cfg: NGPConfig, params, x):
-    """(sigmas, feat_rgb, d sigma/dx) — networks.py:186-196.
+def ngp_grad_cm(cfg: NGPConfig, params, x_cm):
+    """(sigmas (N,), feat_rgb (N, LF), d sigma/dx (3, N)) —
+    networks.py:186-196, channel-major.
 
     The spatial gradient uses the analytic trilerp jacobian computed in
     the same gather pass as the features (ops/hashgrid.py
@@ -253,7 +272,8 @@ def ngp_grad(cfg: NGPConfig, params, x):
     MLP — identical values to full AD (tested) at one fewer traversal
     of the encoder graph. Everything stays differentiable w.r.t. params
     (the reference's create_graph double backward)."""
-    u = _normalize_coords(cfg, x)
+    u = _normalize_coords(cfg, x_cm)
+    sd = _storage_dt(cfg)
     feat_rgb = None
     if cfg.encoder == "fused":
         # ONE gather pass produces density features + density jacobian
@@ -261,36 +281,45 @@ def ngp_grad(cfg: NGPConfig, params, x):
         from ..ops.brickgrid import brickgrid_encode_grad
         fused, jac = brickgrid_encode_grad(
             cfg.fused_brick_cfg, params["grid_table"], u,
-            remat=cfg.encode_remat, jac_lo=0, jac_hi=cfg.density_F)
+            remat=cfg.encode_remat, jac_lo=0, jac_hi=cfg.density_F,
+            storage_dtype=sd, x_cm=True)
         feats, feat_rgb = _split_fused(cfg, fused)
     elif cfg.encoder == "brick":
         from ..ops.brickgrid import brickgrid_encode_grad
         feats, jac = brickgrid_encode_grad(cfg.density_brick_cfg,
                                            params["density_table"], u,
-                                           remat=cfg.encode_remat)
+                                           remat=cfg.encode_remat,
+                                           storage_dtype=sd, x_cm=True)
     else:
         feats, jac = hashgrid_encode_grad(cfg.density_grid_cfg,
-                                          params["density_table"], u)
+                                          params["density_table"], u,
+                                          storage_dtype=sd, x_cm=True)
     raw, mlp_vjp = jax.vjp(
-        lambda h: mlp_apply(params["xyz_net"], h, "softplus", "none",
-                            cfg.dtype)[:, 0], feats)
+        lambda h: mlp_apply_cm(params["xyz_net"], h, "softplus", "none",
+                               cfg.dtype)[0], feats)
     sigmas = jax.nn.softplus(raw)
     dfeat = mlp_vjp(jax.nn.sigmoid(raw))[0]       # d softplus = sigmoid
     # du/dx = 1/(2*scale) from _normalize_coords
-    grads = jnp.einsum("dnf,nf->nd", jac, dfeat) / (2.0 * cfg.scale)
+    grads = jnp.einsum("dnf,nf->dn", jac, dfeat) / (2.0 * cfg.scale)
     if feat_rgb is None:
-        feat_rgb = ngp_rgb_feat(cfg, params, x)
+        feat_rgb = _encode_rgb(cfg, params, u, x_cm=True)
     return sigmas, feat_rgb, grads
 
 
-def _safe_normalize(v, eps=1e-6):
+def ngp_grad(cfg: NGPConfig, params, x):
+    """Sample-major wrapper: x (N, 3) -> grads (N, 3)."""
+    sigmas, feat_rgb, grads = ngp_grad_cm(cfg, params, x.T)
+    return sigmas, feat_rgb, grads.T
+
+
+def _safe_normalize(v, eps=1e-6, axis=-1):
     """Smooth normalize v/sqrt(|v|^2 + eps^2): same values as the
     reference's F.normalize(eps=1e-6) away from zero, but with a bounded
     backward everywhere — the max(|v|, eps) form amplifies cotangents by
     1/eps near |v|=0 (empty space has near-zero density gradients),
     which overflows bf16 training through the Ref-NeRF loss."""
     v32 = v.astype(jnp.float32)
-    n2 = jnp.sum(v32 * v32, axis=-1, keepdims=True)
+    n2 = jnp.sum(v32 * v32, axis=axis, keepdims=True)
     return v32 * jax.lax.rsqrt(n2 + eps * eps)
 
 
@@ -307,47 +336,85 @@ def log_radiance_to_rgb(cfg: NGPConfig, params, log_radiances,
     return jnp.concatenate(outs, axis=1)
 
 
-def ngp_forward(cfg: NGPConfig, params, x, d, embedding_a=None,
-                exposure=None, output_radiance=False,
-                stop_header_grads=False):
-    """Full per-sample forward (networks.py:198-282).
+def _rgb_net_cm(cfg: NGPConfig, params, dsh_cm, feat, embedding_a,
+                out_act):
+    """rgb_net with a block-split first layer: the SH block contracts a
+    channel-major (16, N) input, the feature block contracts the
+    sample-major (N, LF) encoder output, and the optional appearance
+    block the (N, a) embedding — no lane-padded concat (a (N, 16) dsh
+    pads 8x) and no activation transposes. Output (3, N)."""
+    layers = params["rgb_net"]
+    cd = cfg.dtype
+    d2 = cfg.sh_degree ** 2
+    lf = cfg.rgb_L * cfg.rgb_F
+    w1 = layers[0]["w"]
+    h = jnp.einsum("fh,fn->hn", w1[:d2].astype(cd), dsh_cm.astype(cd),
+                   preferred_element_type=jnp.float32)
+    h += jnp.einsum("fh,nf->hn", w1[d2:d2 + lf].astype(cd),
+                    feat.astype(cd), preferred_element_type=jnp.float32)
+    if cfg.embed_a:
+        h += jnp.einsum("fh,nf->hn", w1[d2 + lf:].astype(cd),
+                        embedding_a.astype(cd),
+                        preferred_element_type=jnp.float32)
+    h = jax.nn.relu(h + layers[0]["b"].astype(jnp.float32)[:, None])
+    out = mlp_apply_cm(layers[1:], h.astype(cd), "relu", out_act,
+                       cd, x_cm=True)
+    return out
+
+
+def ngp_forward_cm(cfg: NGPConfig, params, x_cm, d_cm, embedding_a=None,
+                   exposure=None, output_radiance=False,
+                   stop_header_grads=False):
+    """Full per-sample forward (networks.py:198-282), channel-major.
 
     Args:
-      x, d: (N, 3) positions / (unnormalized) view directions.
+      x_cm, d_cm: (3, N) positions / (unnormalized) view directions.
       embedding_a: (N, embed_a_len) per-sample appearance codes.
       stop_header_grads: True reproduces forward_test (networks.py:256-261)
         where the normal/semantic headers run under no_grad.
 
-    Returns (sigmas, rgbs, normals_raw, normals_pred, semantic).
+    Returns (sigmas (N,), rgbs (3, N), normals_raw (3, N),
+    normals_pred (3, N), semantic (classes, N)) — channel axis leading
+    so every array is lane-dense on TPU (a trailing 3 pads 42x).
     """
-    sigmas, feat_rgb, grads = ngp_grad(cfg, params, x)
-    normals_raw = -_safe_normalize(grads)
+    sigmas, feat_rgb, grads = ngp_grad_cm(cfg, params, x_cm)
+    normals_raw = -_safe_normalize(grads, axis=0)
 
     feat_h = jax.lax.stop_gradient(feat_rgb) if stop_header_grads \
         else feat_rgb
     normals_pred = -_safe_normalize(
-        mlp_apply(params["norm_net"], feat_h, "relu", "none", cfg.dtype))
+        mlp_apply_cm(params["norm_net"], feat_h, "relu", "none",
+                     cfg.dtype), axis=0)
     semantic = jax.nn.softmax(
-        mlp_apply(params["sem_net"], feat_h, "relu", "none", cfg.dtype),
-        axis=-1)
+        mlp_apply_cm(params["sem_net"], feat_h, "relu", "none",
+                     cfg.dtype), axis=0)
 
-    dn = _safe_normalize(d)
-    dsh = sh_encode(dn, cfg.sh_degree)
+    dn = _safe_normalize(d_cm, axis=0)
+    dsh_cm = sh_encode_cm(dn, cfg.sh_degree)
 
-    inputs = [dsh, feat_rgb]
-    if cfg.embed_a:
-        inputs.append(embedding_a)
-    h = jnp.concatenate(inputs, axis=-1)
     out_act = "sigmoid" if cfg.rgb_act == "sigmoid" else "none"
-    rgbs = mlp_apply(params["rgb_net"], h, "relu", out_act, cfg.dtype)
+    rgbs = _rgb_net_cm(cfg, params, dsh_cm, feat_rgb, embedding_a,
+                       out_act)
 
     if cfg.rgb_act == "none":
         if output_radiance:
             rgbs = trunc_exp(rgbs)
         else:
-            rgbs = log_radiance_to_rgb(cfg, params, rgbs, exposure)
+            rgbs = log_radiance_to_rgb(cfg, params, rgbs.T, exposure).T
 
     return sigmas, rgbs, normals_raw, normals_pred, semantic
+
+
+def ngp_forward(cfg: NGPConfig, params, x, d, embedding_a=None,
+                exposure=None, output_radiance=False,
+                stop_header_grads=False):
+    """Sample-major wrapper (x, d (N, 3) -> per-sample (N, C) outputs);
+    the hot render path uses ngp_forward_cm directly."""
+    sigmas, rgbs, nraw, npred, sem = ngp_forward_cm(
+        cfg, params, x.T, d.T, embedding_a=embedding_a,
+        exposure=exposure, output_radiance=output_radiance,
+        stop_header_grads=stop_header_grads)
+    return sigmas, rgbs.T, nraw.T, npred.T, sem.T
 
 
 def ngp_forward_skybox(cfg: NGPConfig, params, d):

@@ -106,12 +106,12 @@ def render_rays_oracle(model_cfg: NGPConfig, params, rays_o, rays_d, key,
         embedding_a=emb)
 
     valid = jnp.broadcast_to(hit[:, None], (R, n_samples))
-    out = composite_rays(sigmas.reshape(R, n_samples),
-                         rgbs.reshape(R, n_samples, 3),
+    # composite_rays takes channel-major (C, R, S) per-sample arrays
+    cm = lambda a: jnp.moveaxis(a.reshape(R, n_samples, -1), -1, 0)
+    out = composite_rays(sigmas.reshape(R, n_samples), cm(rgbs),
                          deltas, z, valid, 0.0,
-                         normals_pred=npred.reshape(R, n_samples, 3),
-                         normals_raw=nraw.reshape(R, n_samples, 3),
-                         sems=sems.reshape(R, n_samples, -1))
+                         normals_pred=cm(npred), normals_raw=cm(nraw),
+                         sems=cm(sems))
     out["ts"] = z
     out["deltas"] = deltas
     return out

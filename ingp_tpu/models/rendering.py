@@ -29,9 +29,10 @@ from ..core.intersect import ray_aabb_intersect
 from ..ops.march import MarchConfig, march_rays_lattice, march_rays_block
 from ..ops.composite import composite_rays, distortion_loss, ref_loss
 from ..ops.pack import (
-    compact_samples, gather_samples, scatter_back, ray_ids_for,
+    compact_samples, gather_samples, scatter_back, scatter_back_cm,
+    ray_ids_for,
 )
-from .ngp import NGPConfig, ngp_forward, ngp_forward_skybox
+from .ngp import NGPConfig, ngp_forward_cm, ngp_forward_skybox
 
 MAX_SAMPLES = 1024    # models/rendering.py:9
 NEAR_DISTANCE = 0.01  # models/rendering.py:10
@@ -111,18 +112,21 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
                                    noise)
     ts, deltas, valid = march["ts"], march["deltas"], march["valid"]
 
-    # ragged -> fixed: pack valid samples into a (K,) network batch
+    # ragged -> fixed: pack valid samples into a (K,) network batch.
+    # All per-sample channel quantities are channel-major (C, K) /
+    # (C, R, S): a trailing 3 pads to 128 TPU lanes (42x HBM traffic).
     plan = compact_samples(valid, K)
     rids = ray_ids_for(plan)
     t_k = gather_samples(ts, plan)                         # (K,)
     # positions differentiate through rays (pose refinement) but not t
     # (RayMarcher backward, custom_functions.py:104-113)
-    xyz_k = rays_o[rids] + t_k[:, None] * rays_d[rids]
-    dir_k = rays_d[rids]
+    o_cm, d_cm = rays_o.T, rays_d.T                        # (3, R)
+    dir_cm = d_cm[:, rids]                                 # (3, K)
+    xyz_cm = o_cm[:, rids] + t_k[None] * dir_cm
     emb_k = embedding_a[rids] if embedding_a is not None else None
 
-    sigmas_k, rgbs_k, nraw_k, npred_k, sems_k = ngp_forward(
-        model_cfg, params, xyz_k, dir_k, embedding_a=emb_k,
+    sigmas_k, rgbs_cm, nraw_cm, npred_cm, sems_cm = ngp_forward_cm(
+        model_cfg, params, xyz_cm, dir_cm, embedding_a=emb_k,
         exposure=exposure,
         stop_header_grads=render_cfg.stop_header_grads)
 
@@ -130,10 +134,10 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
     pad = ~plan.slot_valid
     sigmas_k = jnp.where(pad, 0.0, sigmas_k)
     sigmas = scatter_back(sigmas_k, plan)
-    rgbs = scatter_back(rgbs_k, plan)
-    npred = scatter_back(npred_k, plan)
-    nraw = scatter_back(nraw_k, plan)
-    sems = scatter_back(sems_k, plan)
+    rgbs = scatter_back_cm(rgbs_cm, plan)                  # (3, R, S)
+    npred = scatter_back_cm(npred_cm, plan)
+    nraw = scatter_back_cm(nraw_cm, plan)
+    sems = scatter_back_cm(sems_cm, plan)
 
     # capacity overflow: samples that didn't fit in K must not composite
     valid_k = plan.cell_valid
@@ -150,9 +154,9 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
             "vr_samples": jnp.sum(ws_p > 0, -1),
             # aux composites reuse the kernel's weights; their cotangents
             # flow through the kernel's dL/dws backward
-            "normal_pred": jnp.sum(ws_p[..., None] * npred, -2),
-            "normal_raw": jnp.sum(ws_p[..., None] * nraw, -2),
-            "semantic": jnp.sum(ws_p[..., None] * sems, -2),
+            "normal_pred": jnp.sum(ws_p[None] * npred, -1).T,
+            "normal_raw": jnp.sum(ws_p[None] * nraw, -1).T,
+            "semantic": jnp.sum(ws_p[None] * sems, -1).T,
         }
     else:
         results = composite_rays(sigmas, rgbs, deltas, ts, valid_k,
@@ -177,10 +181,10 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
         + rgb_bg * (1.0 - results["opacity"][:, None])
 
     # Ref-NeRF normal consistency composites (rendering.py:242-249)
-    normals_diff = (nraw - npred) ** 2
-    dir_n = dir_k / jnp.maximum(
-        jnp.linalg.norm(dir_k, axis=-1, keepdims=True), 1e-6)
-    ori_k = jnp.maximum(jnp.sum(nraw_k * dir_n, -1), 0.0) ** 2
+    normals_diff = (nraw - npred) ** 2                    # (3, R, S)
+    dir_n = dir_cm / jnp.maximum(
+        jnp.linalg.norm(dir_cm, axis=0, keepdims=True), 1e-6)
+    ori_k = jnp.maximum(jnp.sum(nraw_cm * dir_n, 0), 0.0) ** 2
     normals_ori = scatter_back(ori_k, plan)
     Ro, Rp = ref_loss(jax.lax.stop_gradient(sigmas), normals_diff,
                       normals_ori, deltas, valid_k,
@@ -233,7 +237,8 @@ def _render_rays_test_inner(model_cfg, render_cfg, params, bitfield,
                             rays_o, rays_d, embedding_a, exposure,
                             block_table=None):
     from ..ops.composite import render_weights
-    from .ngp import ngp_sigma
+    from ..ops.pack import scatter_back_cm
+    from .ngp import ngp_sigma_cm
 
     R = rays_o.shape[0]
     S = render_cfg.capacity
@@ -255,9 +260,10 @@ def _render_rays_test_inner(model_cfg, render_cfg, params, bitfield,
     plan = compact_samples(valid, K)
     rids = ray_ids_for(plan)
     t_k = gather_samples(ts, plan)
-    xyz_k = rays_o[rids] + t_k[:, None] * rays_d[rids]
+    o_cm, d_cm = rays_o.T, rays_d.T
+    xyz_cm = o_cm[:, rids] + t_k[None] * d_cm[:, rids]
     sig_k = jnp.where(~plan.slot_valid, 0.0,
-                      ngp_sigma(model_cfg, params, xyz_k))
+                      ngp_sigma_cm(model_cfg, params, xyz_cm))
     sigmas = scatter_back(sig_k, plan)
     valid_k = plan.cell_valid
 
@@ -271,17 +277,17 @@ def _render_rays_test_inner(model_cfg, render_cfg, params, bitfield,
     plan2 = compact_samples(visible, K)
     rids2 = ray_ids_for(plan2)
     t_k2 = gather_samples(ts, plan2)
-    xyz2 = rays_o[rids2] + t_k2[:, None] * rays_d[rids2]
-    dir2 = rays_d[rids2]
+    dir2_cm = d_cm[:, rids2]
+    xyz2_cm = o_cm[:, rids2] + t_k2[None] * dir2_cm
     emb2 = embedding_a[rids2] if embedding_a is not None else None
-    _, rgbs_k, nraw_k, npred_k, sems_k = ngp_forward(
-        model_cfg, params, xyz2, dir2, embedding_a=emb2,
+    _, rgbs_cm, nraw_cm, npred_cm, sems_cm = ngp_forward_cm(
+        model_cfg, params, xyz2_cm, dir2_cm, embedding_a=emb2,
         exposure=exposure, stop_header_grads=True)
     pad2 = ~plan2.slot_valid
-    rgbs = scatter_back(jnp.where(pad2[:, None], 0.0, rgbs_k), plan2)
-    npred = scatter_back(jnp.where(pad2[:, None], 0.0, npred_k), plan2)
-    nraw = scatter_back(jnp.where(pad2[:, None], 0.0, nraw_k), plan2)
-    sems = scatter_back(jnp.where(pad2[:, None], 0.0, sems_k), plan2)
+    rgbs = scatter_back_cm(jnp.where(pad2[None], 0.0, rgbs_cm), plan2)
+    npred = scatter_back_cm(jnp.where(pad2[None], 0.0, npred_cm), plan2)
+    nraw = scatter_back_cm(jnp.where(pad2[None], 0.0, nraw_cm), plan2)
+    sems = scatter_back_cm(jnp.where(pad2[None], 0.0, sems_cm), plan2)
 
     results = composite_rays(sigmas, rgbs, deltas, ts, visible,
                              render_cfg.T_threshold,

@@ -37,6 +37,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .gather import storage_cast, table_gather
+
 _PRIMES = (1, 2654435761, 805459861)
 
 
@@ -133,10 +135,12 @@ def _lane_coords(cfg: BrickGridConfig):
             jnp.asarray(k, jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk", "remat"))
+@partial(jax.jit, static_argnames=("cfg", "chunk", "remat",
+                                   "storage_dtype", "x_cm"))
 def brickgrid_encode(cfg: BrickGridConfig, table: jnp.ndarray,
                      x: jnp.ndarray, chunk: int = 16384,
-                     remat: bool = True):
+                     remat: bool = True, storage_dtype=None,
+                     x_cm: bool = False):
     """Encode (N, 3) positions in [0,1]^3 -> (N, L*F) features.
 
     One wide-row gather per (sample, level). Per-chunk processing with
@@ -145,18 +149,33 @@ def brickgrid_encode(cfg: BrickGridConfig, table: jnp.ndarray,
     AD residuals — without jax.checkpoint, differentiating through the
     chunk loop stacks every chunk's gathered rows in HBM (measured:
     38GB at the flagship op-point).
+
+    storage_dtype: optional low-precision *read* dtype for the gather
+    (master-weight scheme, ops/gather.py). The cast is built once here,
+    outside the chunk loop.
+    x_cm: x is channel-major (3, N) — the TPU-dense layout; avoids
+    reading a lane-padded (N, 3) input.
     """
-    N = x.shape[0]
     L, F = cfg.n_levels, cfg.n_features
+    xc = x.astype(jnp.float32) if x_cm else x.astype(jnp.float32).T
+    N = xc.shape[1]
+    storage = storage_cast(table, storage_dtype)
     if N > chunk:
         pad = (-N) % chunk
-        xp = jnp.pad(x, ((0, pad), (0, 0)))
-        body = lambda c: brickgrid_encode(cfg, table, c, chunk)
+        xp = jnp.pad(xc, ((0, 0), (0, pad)))
+        body = lambda c: _encode_chunk(cfg, table, storage, c)
         if remat:
             body = jax.checkpoint(body)
-        out = jax.lax.map(body, xp.reshape(-1, chunk, 3))
+        xs = jnp.moveaxis(xp.reshape(3, -1, chunk), 1, 0)  # (nc, 3, chunk)
+        out = jax.lax.map(body, xs)
         return out.reshape(-1, L * F)[:N]
+    return _encode_chunk(cfg, table, storage, xc)
 
+
+def _encode_chunk(cfg: BrickGridConfig, table, storage, xT):
+    """xT: channel-major (3, N) chunk."""
+    N = xT.shape[1]
+    L, F = cfg.n_levels, cfg.n_features
     B = cfg.brick_size
     scales = jnp.asarray(cfg.scales, jnp.float32)
     res = jnp.asarray(cfg.resolutions, jnp.int32)
@@ -166,7 +185,6 @@ def brickgrid_encode(cfg: BrickGridConfig, table: jnp.ndarray,
     mask = jnp.uint32((1 << cfg.log2_bricks) - 1)
 
     # (3, L, N) coordinate planes (dim-major; no trailing-3 arrays)
-    xT = x.astype(jnp.float32).T
     pos = xT[:, None, :] * scales[None, :, None] + 0.5
     # clamp the cell so corner+1 stays inside the lattice (tcnn-style
     # boundary behavior)
@@ -186,8 +204,8 @@ def brickgrid_encode(cfg: BrickGridConfig, table: jnp.ndarray,
     rows = (jnp.where(hashed[:, None], h, dense)
             + offsets[:, None]).astype(jnp.int32)             # (L, N)
 
-    g = jnp.take(table, rows.reshape(-1), axis=0
-                 ).astype(jnp.float32)                 # (L*N, W)
+    g = table_gather(table, rows.reshape(-1), axis=0,
+                     storage=storage)                  # (L*N, W) f32
 
     # per-lane static lattice coords
     li, lj, lk = _lane_coords(cfg)
@@ -212,11 +230,12 @@ def brickgrid_encode(cfg: BrickGridConfig, table: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "remat", "jac_lo",
-                                   "jac_hi"))
+                                   "jac_hi", "storage_dtype", "x_cm"))
 def brickgrid_encode_grad(cfg: BrickGridConfig, table: jnp.ndarray,
                           x: jnp.ndarray, chunk: int = 16384,
                           remat: bool = True, jac_lo: int = 0,
-                          jac_hi: int | None = None):
+                          jac_hi: int | None = None, storage_dtype=None,
+                          x_cm: bool = False):
     """Encode + analytic d(feat)/dx in the same single-gather pass
     (brick analog of ops/hashgrid.hashgrid_encode_grad).
 
@@ -225,21 +244,31 @@ def brickgrid_encode_grad(cfg: BrickGridConfig, table: jnp.ndarray,
 
     Returns (feats (N, L*F), jac (3, N, L*Fj)) with Fj = jac_hi-jac_lo.
     """
-    N = x.shape[0]
     L, F = cfg.n_levels, cfg.n_features
     Fj = (F if jac_hi is None else jac_hi) - jac_lo
+    xc = x.astype(jnp.float32) if x_cm else x.astype(jnp.float32).T
+    N = xc.shape[1]
+    storage = storage_cast(table, storage_dtype)
     if N > chunk:
         pad = (-N) % chunk
-        xp = jnp.pad(x, ((0, pad), (0, 0)))
-        body = lambda c: brickgrid_encode_grad(cfg, table, c, chunk,
-                                               jac_lo=jac_lo,
-                                               jac_hi=jac_hi)
+        xp = jnp.pad(xc, ((0, 0), (0, pad)))
+        body = lambda c: _encode_grad_chunk(cfg, table, storage, c,
+                                            jac_lo, jac_hi)
         if remat:
             body = jax.checkpoint(body)
-        feats, jac = jax.lax.map(body, xp.reshape(-1, chunk, 3))
+        xs = jnp.moveaxis(xp.reshape(3, -1, chunk), 1, 0)
+        feats, jac = jax.lax.map(body, xs)
         return (feats.reshape(-1, L * F)[:N],
                 jnp.moveaxis(jac, 1, 0).reshape(3, -1, L * Fj)[:, :N])
+    return _encode_grad_chunk(cfg, table, storage, xc, jac_lo, jac_hi)
 
+
+def _encode_grad_chunk(cfg: BrickGridConfig, table, storage, xT,
+                       jac_lo, jac_hi):
+    """xT: channel-major (3, N) chunk."""
+    N = xT.shape[1]
+    L, F = cfg.n_levels, cfg.n_features
+    Fj = (F if jac_hi is None else jac_hi) - jac_lo
     B = cfg.brick_size
     scales = jnp.asarray(cfg.scales, jnp.float32)
     res = jnp.asarray(cfg.resolutions, jnp.int32)
@@ -248,7 +277,6 @@ def brickgrid_encode_grad(cfg: BrickGridConfig, table: jnp.ndarray,
     hashed = jnp.asarray(cfg.hashed, jnp.bool_)
     mask = jnp.uint32((1 << cfg.log2_bricks) - 1)
 
-    xT = x.astype(jnp.float32).T
     pos = xT[:, None, :] * scales[None, :, None] + 0.5
     pos_grid = jnp.clip(jnp.floor(pos), 0,
                         (res[None, :, None] - 2).astype(jnp.float32))
@@ -266,7 +294,7 @@ def brickgrid_encode_grad(cfg: BrickGridConfig, table: jnp.ndarray,
     rows = (jnp.where(hashed[:, None], h, dense)
             + offsets[:, None]).astype(jnp.int32)
 
-    g = jnp.take(table, rows.reshape(-1), axis=0).astype(jnp.float32)
+    g = table_gather(table, rows.reshape(-1), axis=0, storage=storage)
 
     li, lj, lk = _lane_coords(cfg)
 

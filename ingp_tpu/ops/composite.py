@@ -56,6 +56,11 @@ def composite_rays(sigmas, rgbs, deltas, ts, valid, T_threshold,
     loss. `vr_samples` counts samples actually composited per ray
     (total_samples in the CUDA kernel).
 
+    Per-sample channel quantities are CHANNEL-MAJOR: rgbs / normals
+    (3, R, S), sems (classes, R, S) — a trailing channel axis of 3/7
+    pads to 128 TPU lanes (42x HBM traffic). Composited outputs are
+    returned ray-major (R, C) for the losses/metrics (tiny arrays).
+
     Returns a dict; normal_pred/normal_raw/semantic keys present only when
     the corresponding inputs are given.
     """
@@ -66,15 +71,15 @@ def composite_rays(sigmas, rgbs, deltas, ts, valid, T_threshold,
         "ws": ws,
         "opacity": jnp.sum(ws, -1),
         "depth": jnp.sum(ws * ts, -1),
-        "rgb": jnp.sum(ws[..., None] * rgbs, -2),
+        "rgb": jnp.sum(ws[None] * rgbs, -1).T,
         "vr_samples": jnp.sum(included, -1),
     }
     if normals_pred is not None:
-        out["normal_pred"] = jnp.sum(ws[..., None] * normals_pred, -2)
+        out["normal_pred"] = jnp.sum(ws[None] * normals_pred, -1).T
     if normals_raw is not None:
-        out["normal_raw"] = jnp.sum(ws[..., None] * normals_raw, -2)
+        out["normal_raw"] = jnp.sum(ws[None] * normals_raw, -1).T
     if sems is not None:
-        out["semantic"] = jnp.sum(ws[..., None] * sems, -2)
+        out["semantic"] = jnp.sum(ws[None] * sems, -1).T
     return out
 
 
@@ -102,15 +107,15 @@ def ref_loss(sigmas, normals_diff, normals_ori, deltas, valid, T_threshold):
     """Ref-NeRF normal-consistency composites (ref_loss.cu:4-73).
 
     Composites the per-sample squared pred-vs-raw normal difference
-    (loss_p, (R,3)) and the back-facing penalty (loss_o, (R,)) with the
-    volume weights. `sigmas` should already be stop_gradient'ed by the
-    caller — the reference feeds detached sigmas (rendering.py:248) so
-    these losses shape normals only, not density.
+    (channel-major (3, R, S)) and the back-facing penalty ((R, S)) with
+    the volume weights. `sigmas` should already be stop_gradient'ed by
+    the caller — the reference feeds detached sigmas (rendering.py:248)
+    so these losses shape normals only, not density.
 
     Returns (Ro (R,), Rp (R, 3)).
     """
     ws, _ = render_weights(sigmas, deltas, valid, T_threshold)
-    Rp = jnp.sum(ws[..., None] * normals_diff, -2)
+    Rp = jnp.sum(ws[None] * normals_diff, -1).T
     Ro = jnp.sum(ws * normals_ori, -1)
     return Ro, Rp
 

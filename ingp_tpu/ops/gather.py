@@ -1,0 +1,82 @@
+"""Mixed-precision table gather with f32 master-weight backward.
+
+Hash/brick-table gathers are the throughput bound of the whole framework
+(PERF_NOTES.md), so tables are *read* in bfloat16 to halve the random-row
+HBM traffic. Storing the parameters themselves in bf16, however, breaks
+optimization two ways:
+
+  1. Adam updates smaller than ~0.4% of a weight's magnitude round to
+     zero in bf16 (7 mantissa bits), stalling late training.
+  2. The backward scatter-add accumulates thousands of per-sample
+     cotangents into the same coarse-level row; bf16 accumulation loses
+     whatever the largest addend doesn't cover.
+
+The TPU-native fix is the classic master-weight split: parameters (and
+Adam moments) stay float32, and the gather reads a bf16 *storage cast*
+made once per step. `_gather`'s custom VJP routes the backward
+scatter-add directly into the f32 master layout, so both problems vanish
+while the forward keeps bf16 gather bandwidth. (The reference keeps
+fp32 torch parameters in front of tinycudann's half-precision tables —
+networks.py:40-76 — this is the same scheme expressed functionally.)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather(master, storage, rows, axis):
+    del master  # forward reads the low-precision copy only
+    return jnp.take(storage, rows, axis=axis).astype(jnp.float32)
+
+
+def _gather_fwd(master, storage, rows, axis):
+    out = _gather(master, storage, rows, axis)
+    # master/storage are stored only for shape/dtype — they are live
+    # parameter buffers, so these residuals cost no extra memory
+    return out, (rows, master, storage)
+
+
+def _gather_bwd(axis, res, ct):
+    rows, master, storage = res
+    g = jnp.zeros(master.shape, master.dtype)
+    ct = ct.astype(master.dtype)
+    if axis == 0:
+        g = g.at[rows].add(ct)
+    elif axis == 1:
+        g = g.at[:, rows].add(ct)
+    else:
+        raise NotImplementedError(f"axis={axis}")
+    # storage came through stop_gradient: its zero cotangent is DCE'd
+    return (g, jnp.zeros(storage.shape, storage.dtype),
+            np.zeros(np.shape(rows), jax.dtypes.float0))
+
+
+_gather.defvjp(_gather_fwd, _gather_bwd)
+
+
+def storage_cast(table, storage_dtype=None):
+    """Low-precision read copy of a master table, or None if the table
+    is already stored at (or below) the requested precision."""
+    if storage_dtype is None:
+        return None
+    sd = jnp.dtype(storage_dtype)
+    if sd == table.dtype:
+        return None
+    return jax.lax.stop_gradient(table).astype(sd)
+
+
+def table_gather(table, rows, axis=0, storage=None):
+    """take(table, rows, axis) in f32, reading `storage` when given.
+
+    Callers that loop over chunks should build `storage` ONCE with
+    storage_cast() outside the loop — casting a multi-hundred-MB table
+    per chunk would swamp the gather it accelerates.
+    """
+    if storage is None:
+        return jnp.take(table, rows, axis=axis).astype(jnp.float32)
+    return _gather(table, storage, rows, axis)

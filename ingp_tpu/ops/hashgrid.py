@@ -34,6 +34,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .gather import storage_cast, table_gather
+
 # Instant-NGP spatial hash primes (paper eq. 4). First prime is 1.
 _PRIMES = (1, 2654435761, 805459861)
 
@@ -103,8 +105,9 @@ def hashgrid_init(key, cfg: HashGridConfig, dtype=jnp.float32):
                               ).astype(dtype)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def hashgrid_encode(cfg: HashGridConfig, table: jnp.ndarray, x: jnp.ndarray):
+@partial(jax.jit, static_argnames=("cfg", "storage_dtype", "x_cm"))
+def hashgrid_encode(cfg: HashGridConfig, table: jnp.ndarray, x: jnp.ndarray,
+                    storage_dtype=None, x_cm: bool = False):
     """Encode positions through all levels.
 
     Args:
@@ -112,11 +115,12 @@ def hashgrid_encode(cfg: HashGridConfig, table: jnp.ndarray, x: jnp.ndarray):
       table: (F, total_rows) parameters (feature-major).
       x: (N, 3) positions in [0, 1]^3 (out-of-range values are clamped by
          the corner clamp, mirroring tcnn's boundary behavior).
+      storage_dtype: optional low-precision read dtype (ops/gather.py).
 
     Returns:
       (N, L*F) float32 features, level-major.
     """
-    N = x.shape[0]
+    storage = storage_cast(table, storage_dtype)
     L, F = cfg.n_levels, cfg.n_features
     scales = jnp.asarray(cfg.scales, dtype=jnp.float32)          # (L,)
     res = jnp.asarray(cfg.resolutions, dtype=jnp.int32)          # (L,)
@@ -124,7 +128,8 @@ def hashgrid_encode(cfg: HashGridConfig, table: jnp.ndarray, x: jnp.ndarray):
     hashed = jnp.asarray(cfg.hashed, dtype=jnp.bool_)            # (L,)
 
     # point axis LAST everywhere (TPU lane dim): (3, L, N)
-    xT = x.astype(jnp.float32).T                                  # (3, N)
+    xT = x.astype(jnp.float32) if x_cm else x.astype(jnp.float32).T
+    N = xT.shape[1]
     pos = xT[:, None, :] * scales[None, :, None] + 0.5            # (3,L,N)
     pos_grid = jnp.floor(pos)
     frac = pos - pos_grid
@@ -148,8 +153,8 @@ def hashgrid_encode(cfg: HashGridConfig, table: jnp.ndarray, x: jnp.ndarray):
         rows = (jnp.where(hashed[:, None], h, dense)
                 + offsets[:, None]).astype(jnp.int32)             # (L, N)
 
-        feats = jnp.take(table, rows.reshape(-1), axis=1
-                         ).reshape(F, L, N).astype(jnp.float32)
+        feats = table_gather(table, rows.reshape(-1), axis=1,
+                             storage=storage).reshape(F, L, N)
         fb = jnp.asarray(bits, jnp.float32)[:, None, None]
         w = jnp.prod(fb * frac + (1.0 - fb) * (1.0 - frac),
                      axis=0)                                      # (L, N)
@@ -159,9 +164,10 @@ def hashgrid_encode(cfg: HashGridConfig, table: jnp.ndarray, x: jnp.ndarray):
     return jnp.transpose(acc, (2, 1, 0)).reshape(N, L * F)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "storage_dtype", "x_cm"))
 def hashgrid_encode_grad(cfg: HashGridConfig, table: jnp.ndarray,
-                         x: jnp.ndarray):
+                         x: jnp.ndarray, storage_dtype=None,
+                         x_cm: bool = False):
     """Encode positions AND the analytic spatial jacobian in one pass.
 
     The derivative of trilinear interpolation w.r.t. position reuses the
@@ -176,14 +182,15 @@ def hashgrid_encode_grad(cfg: HashGridConfig, table: jnp.ndarray,
              positions on the clamp boundary get zero derivative, the
              exact subgradient of the clamped interpolation).
     """
-    N = x.shape[0]
+    storage = storage_cast(table, storage_dtype)
     L, F = cfg.n_levels, cfg.n_features
     scales = jnp.asarray(cfg.scales, dtype=jnp.float32)
     res = jnp.asarray(cfg.resolutions, dtype=jnp.int32)
     offsets = jnp.asarray(cfg.offsets, dtype=jnp.uint32)
     hashed = jnp.asarray(cfg.hashed, dtype=jnp.bool_)
 
-    xT = x.astype(jnp.float32).T
+    xT = x.astype(jnp.float32) if x_cm else x.astype(jnp.float32).T
+    N = xT.shape[1]
     pos = xT[:, None, :] * scales[None, :, None] + 0.5
     pos_grid = jnp.floor(pos)
     frac = pos - pos_grid
@@ -208,8 +215,8 @@ def hashgrid_encode_grad(cfg: HashGridConfig, table: jnp.ndarray,
         rows = (jnp.where(hashed[:, None], h, dense)
                 + offsets[:, None]).astype(jnp.int32)
 
-        feats = jnp.take(table, rows.reshape(-1), axis=1
-                         ).reshape(F, L, N).astype(jnp.float32)
+        feats = table_gather(table, rows.reshape(-1), axis=1,
+                             storage=storage).reshape(F, L, N)
         fb = jnp.asarray(bits, jnp.float32)[:, None, None]
         per_dim = fb * frac + (1.0 - fb) * (1.0 - frac)      # (3, L, N)
         w = jnp.prod(per_dim, axis=0)

@@ -47,7 +47,7 @@ def _fwd_kernel(sig_ref, rgb_ref, dt_ref, ts_ref, valid_ref,
     opacity_ref[...] = jnp.sum(ws, -1)
     depth_ref[...] = jnp.sum(ws * ts_ref[...], -1)
     for c in range(3):
-        rgb_out_ref[:, c] = jnp.sum(ws * rgb_ref[:, :, c], -1)
+        rgb_out_ref[:, c] = jnp.sum(ws * rgb_ref[c], -1)
 
 
 def _bwd_kernel(sig_ref, rgb_ref, dt_ref, ts_ref, valid_ref, thr_ref,
@@ -88,12 +88,12 @@ def _bwd_kernel(sig_ref, rgb_ref, dt_ref, ts_ref, valid_ref, thr_ref,
     acc = acc + T_after * dws - suffix
 
     for c in range(3):
-        rgb_c = rgb_ref[:, :, c]
+        rgb_c = rgb_ref[c]
         dC = drgb_out_ref[:, c][:, None]
         C = jnp.sum(ws * rgb_c, -1, keepdims=True)
         pref = jnp.cumsum(ws * rgb_c, -1)
         acc = acc + dC * (rgb_c * T_after - (C - pref))
-        drgb_ref[:, :, c] = dC[:, 0][:, None] * ws
+        drgb_ref[c] = dC[:, 0][:, None] * ws
     dsig_ref[...] = jnp.where(include, dt * acc, 0.0)
 
 
@@ -101,9 +101,9 @@ def _run_fwd(sigmas, rgbs, deltas, ts, valid, thr, interpret):
     R, S = sigmas.shape
     grid = (R // RAY_TILE,)
     row = lambda i: (i, 0)
-    row3 = lambda i: (i, 0, 0)
+    row3 = lambda i: (0, i, 0)
     spec_rs = pl.BlockSpec((RAY_TILE, S), row)
-    spec_r3 = pl.BlockSpec((RAY_TILE, S, 3), row3)
+    spec_r3 = pl.BlockSpec((3, RAY_TILE, S), row3)
     spec_r = pl.BlockSpec((RAY_TILE,), lambda i: (i,))
     spec_rc = pl.BlockSpec((RAY_TILE, 3), row)
     thr_arr = jnp.full((1,), thr, jnp.float32)
@@ -128,9 +128,9 @@ def _run_bwd(sigmas, rgbs, deltas, ts, valid, thr, dws, dO, dD, dC,
     R, S = sigmas.shape
     grid = (R // RAY_TILE,)
     row = lambda i: (i, 0)
-    row3 = lambda i: (i, 0, 0)
+    row3 = lambda i: (0, i, 0)
     spec_rs = pl.BlockSpec((RAY_TILE, S), row)
-    spec_r3 = pl.BlockSpec((RAY_TILE, S, 3), row3)
+    spec_r3 = pl.BlockSpec((3, RAY_TILE, S), row3)
     spec_r = pl.BlockSpec((RAY_TILE,), lambda i: (i,))
     spec_rc = pl.BlockSpec((RAY_TILE, 3), row)
     thr_arr = jnp.full((1,), thr, jnp.float32)
@@ -143,7 +143,7 @@ def _run_bwd(sigmas, rgbs, deltas, ts, valid, thr, dws, dO, dD, dC,
         out_specs=[spec_rs, spec_r3],
         out_shape=[
             jax.ShapeDtypeStruct((R, S), jnp.float32),
-            jax.ShapeDtypeStruct((R, S, 3), jnp.float32),
+            jax.ShapeDtypeStruct((3, R, S), jnp.float32),
         ],
         interpret=interpret,
     )(sigmas, rgbs, deltas, ts, valid, thr_arr, dws, dO, dD, dC)
@@ -154,7 +154,8 @@ def composite_pallas(sigmas, rgbs, deltas, ts, valid, T_threshold,
                      interpret=False):
     """Fused composite: returns (ws, opacity, depth, rgb).
 
-    sigmas/deltas/ts: (R, S) f32; rgbs: (R, S, 3); valid: (R, S) bool.
+    sigmas/deltas/ts: (R, S) f32; rgbs: (3, R, S) channel-major
+    (a trailing 3 pads to 128 lanes in HBM); valid: (R, S) bool.
     R must be a multiple of 8 and S a multiple of 128 (pad otherwise).
     Gradients flow to sigmas and rgbs (deltas/ts treated as constants,
     like the reference's VolumeRenderer custom Function).

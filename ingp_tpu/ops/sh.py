@@ -25,9 +25,22 @@ def sh_encode(d, degree: int):
 
     Returns (..., degree**2) float array.
     """
+    return jnp.stack(_sh_components(d[..., 0], d[..., 1], d[..., 2],
+                                    degree), axis=-1)
+
+
+def sh_encode_cm(d_cm, degree: int):
+    """Channel-major variant: d_cm (3, N) -> (degree**2, N).
+
+    Keeps the point axis on TPU lanes (dense); the sample-major
+    sh_encode's (N, 16) output pads to (N, 128) in HBM."""
+    return jnp.stack(_sh_components(d_cm[0], d_cm[1], d_cm[2], degree),
+                     axis=0)
+
+
+def _sh_components(x, y, z, degree: int):
     if degree < 1 or degree > 4:
         raise ValueError(f"sh_encode supports degree 1..4, got {degree}")
-    x, y, z = d[..., 0], d[..., 1], d[..., 2]
     out = [jnp.full_like(x, 0.28209479177387814)]
     if degree >= 2:
         out += [
@@ -55,4 +68,4 @@ def sh_encode(d, degree: int):
             1.4453057213202769 * z * (x2 - y2),
             0.59004358992664352 * x * (-x2 + 3.0 * y2),
         ]
-    return jnp.stack(out, axis=-1)
+    return out

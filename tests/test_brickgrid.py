@@ -142,3 +142,45 @@ def test_brick_row_width_padding():
     assert cfg.row_width == 128
     cfg8 = small_cfg(n_features=8)  # 216 -> 256
     assert cfg8.row_width == 256
+
+
+def test_master_weight_storage_gather():
+    """table_dtype='bfloat16' now means: f32 master params, bf16 gather
+    storage (ops/gather.py). Forward must equal a plain bf16-table
+    encode bitwise; backward must return f32 grads accumulated at full
+    precision (bf16 scatter-add loses tiny per-sample cotangents)."""
+    import jax.numpy as jnp
+    from ingp_tpu.ops.brickgrid import brickgrid_encode_grad
+    from ingp_tpu.ops.gather import storage_cast, table_gather
+
+    cfg = small_cfg(n_levels=2)
+    table = brickgrid_init(jax.random.PRNGKey(0), cfg) * 100
+    x = jax.random.uniform(jax.random.PRNGKey(7), (300, 3))
+
+    ref = brickgrid_encode(cfg, table.astype(jnp.bfloat16), x, chunk=128)
+    new = brickgrid_encode(cfg, table, x, chunk=128,
+                           storage_dtype="bfloat16")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
+
+    g = jax.grad(lambda t: jnp.sum(brickgrid_encode(
+        cfg, t, x, chunk=128, storage_dtype="bfloat16") ** 2))(table)
+    assert g.dtype == jnp.float32
+
+    f1, j1 = brickgrid_encode_grad(cfg, table, x, chunk=128,
+                                   storage_dtype="bfloat16")
+    f2, j2 = brickgrid_encode_grad(cfg, table.astype(jnp.bfloat16), x,
+                                   chunk=128)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(j1), np.asarray(j2))
+
+    # f32 accumulation: 10k cotangents of 1e-4 into one row must sum
+    # to ~1.0 (bf16 accumulation saturates far below)
+    tt = jnp.ones((4, 256), jnp.float32)
+    rows = jnp.zeros(10000, jnp.int32)
+
+    def loss(t):
+        return jnp.sum(table_gather(
+            t, rows, 0, storage_cast(t, "bfloat16"))) * 1e-4
+
+    acc = float(jax.grad(loss)(tt)[0, 0])
+    assert abs(acc - 1.0) < 1e-3

@@ -258,7 +258,10 @@ def _random_samples(seed=0, R=16, S=24):
 def test_composite_matches_oracle():
     sig, rgb, dt, t, nv, valid = _random_samples()
     T_thr = 1e-4
-    res = composite_rays(jnp.asarray(sig), jnp.asarray(rgb), jnp.asarray(dt),
+    # per-sample channel arrays are channel-major (C, R, S)
+    res = composite_rays(jnp.asarray(sig),
+                         jnp.moveaxis(jnp.asarray(rgb), -1, 0),
+                         jnp.asarray(dt),
                          jnp.asarray(t), jnp.asarray(valid), T_thr)
     want = _oracle_composite(sig, rgb, dt, t, nv, T_thr)
     np.testing.assert_allclose(np.asarray(res["opacity"]), want["opacity"],
@@ -285,7 +288,8 @@ def test_composite_grads_match_analytic_dl_dsigma():
     dL_drgb = jnp.asarray(rng.random((R, 3)).astype(np.float32))
 
     def loss(s):
-        res = composite_rays(s, rgb, dt, t, valid, 0.0)
+        res = composite_rays(s, jnp.moveaxis(rgb, -1, 0), dt, t, valid,
+                             0.0)
         return jnp.sum(res["rgb"] * dL_drgb)
 
     g = np.asarray(jax.grad(loss)(sig))
@@ -328,7 +332,9 @@ def test_ref_loss_composites_with_weights():
     rng = np.random.default_rng(8)
     diff = rng.random(sig.shape + (3,)).astype(np.float32)
     ori = rng.random(sig.shape).astype(np.float32)
-    Ro, Rp = ref_loss(jnp.asarray(sig), jnp.asarray(diff), jnp.asarray(ori),
+    Ro, Rp = ref_loss(jnp.asarray(sig),
+                      jnp.moveaxis(jnp.asarray(diff), -1, 0),
+                      jnp.asarray(ori),
                       jnp.asarray(dt), jnp.asarray(valid), 1e-4)
     ws, _ = render_weights(jnp.asarray(sig), jnp.asarray(dt),
                            jnp.asarray(valid), 1e-4)

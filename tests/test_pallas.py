@@ -13,7 +13,7 @@ def _samples(seed=0, R=16, S=128):
     nv = rng.integers(0, S + 1, R)
     valid = np.arange(S)[None] < nv[:, None]
     sig = (rng.exponential(20.0, (R, S)) * valid).astype(np.float32)
-    rgb = rng.random((R, S, 3)).astype(np.float32)
+    rgb = rng.random((3, R, S)).astype(np.float32)   # channel-major
     dt = np.full((R, S), 0.01, np.float32)
     ts = np.cumsum(dt, 1).astype(np.float32)
     return (jnp.asarray(sig), jnp.asarray(rgb), jnp.asarray(dt),
