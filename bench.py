@@ -42,12 +42,13 @@ def main():
         normal_ref=True, optimize_ext=False, random_bg=False,
         render_semantic=False, chunk_size=131072, seed=0, ckpt_load=None,
         compute_dtype="bfloat16",
-        capacity=int(os.environ.get("BENCH_CAPACITY", "128")),
+        capacity=int(os.environ.get("BENCH_CAPACITY", "48")),
         march_iters=int(os.environ.get("BENCH_MARCH_ITERS", "1024")),
         samples_per_ray=int(os.environ.get("BENCH_SPR", "24")),
         encoder=os.environ.get("BENCH_ENCODER", "brick"),
         table_dtype=os.environ.get("BENCH_TABLE_DTYPE", "bfloat16"),
         encode_remat=os.environ.get("BENCH_REMAT", "1") == "1",
+        encode_chunk=int(os.environ.get("BENCH_CHUNK", "98304")),
     )
     tr = SyntheticDataset(split="train", img_size=256, n_train=16)
     te = SyntheticDataset(split="test", img_size=256, n_test=1)

@@ -77,6 +77,8 @@ class NGPConfig:
     # per-step read copy is low-precision.
     encode_remat: bool = True       # recompute encode gathers in bwd
     #                                 (False trades HBM for a pass)
+    encode_chunk: int = 16384       # encoder chunk size (larger = fewer
+    #                                 loop iterations, more live HBM)
 
     @property
     def cascades(self) -> int:
@@ -204,13 +206,13 @@ def _encode_density(cfg: NGPConfig, params, u, x_cm=False):
     if cfg.encoder == "fused":
         feats = brickgrid_encode(cfg.fused_brick_cfg,
                                  params["grid_table"], u,
-                                 remat=cfg.encode_remat,
+                                 remat=cfg.encode_remat, chunk=cfg.encode_chunk,
                                  storage_dtype=sd, x_cm=x_cm)
         return _split_fused(cfg, feats)[0]
     if cfg.encoder == "brick":
         return brickgrid_encode(cfg.density_brick_cfg,
                                 params["density_table"], u,
-                                remat=cfg.encode_remat,
+                                remat=cfg.encode_remat, chunk=cfg.encode_chunk,
                                 storage_dtype=sd, x_cm=x_cm)
     return hashgrid_encode(cfg.density_grid_cfg,
                            params["density_table"], u, storage_dtype=sd,
@@ -222,12 +224,12 @@ def _encode_rgb(cfg: NGPConfig, params, u, x_cm=False):
     if cfg.encoder == "fused":
         feats = brickgrid_encode(cfg.fused_brick_cfg,
                                  params["grid_table"], u,
-                                 remat=cfg.encode_remat,
+                                 remat=cfg.encode_remat, chunk=cfg.encode_chunk,
                                  storage_dtype=sd, x_cm=x_cm)
         return _split_fused(cfg, feats)[1]
     if cfg.encoder == "brick":
         return brickgrid_encode(cfg.rgb_brick_cfg, params["rgb_table"], u,
-                                remat=cfg.encode_remat, storage_dtype=sd,
+                                remat=cfg.encode_remat, chunk=cfg.encode_chunk, storage_dtype=sd,
                                 x_cm=x_cm)
     return hashgrid_encode(cfg.rgb_grid_cfg, params["rgb_table"], u,
                            storage_dtype=sd, x_cm=x_cm)
@@ -281,14 +283,15 @@ def ngp_grad_cm(cfg: NGPConfig, params, x_cm):
         from ..ops.brickgrid import brickgrid_encode_grad
         fused, jac = brickgrid_encode_grad(
             cfg.fused_brick_cfg, params["grid_table"], u,
-            remat=cfg.encode_remat, jac_lo=0, jac_hi=cfg.density_F,
+            remat=cfg.encode_remat, chunk=cfg.encode_chunk,
+            jac_lo=0, jac_hi=cfg.density_F,
             storage_dtype=sd, x_cm=True)
         feats, feat_rgb = _split_fused(cfg, fused)
     elif cfg.encoder == "brick":
         from ..ops.brickgrid import brickgrid_encode_grad
         feats, jac = brickgrid_encode_grad(cfg.density_brick_cfg,
                                            params["density_table"], u,
-                                           remat=cfg.encode_remat,
+                                           remat=cfg.encode_remat, chunk=cfg.encode_chunk,
                                            storage_dtype=sd, x_cm=True)
     else:
         feats, jac = hashgrid_encode_grad(cfg.density_grid_cfg,

@@ -36,10 +36,20 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .gather import storage_cast, table_gather
 
 _PRIMES = (1, 2654435761, 805459861)
+
+# Remat policy for the chunk bodies: SAVE the per-chunk outputs
+# (features / jacobian — ~1 ms of HBM) so the backward recompute never
+# re-runs the table gather (~56 ms/pass at the flagship op-point).
+# The table-gradient scatter itself needs only weights and cotangents,
+# never the gathered values, so with outputs saved the recompute pass
+# contains no gather at all.
+_SAVE_OUTS = jax.checkpoint_policies.save_only_these_names(
+    "brick_feats", "brick_jac")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,7 +175,7 @@ def brickgrid_encode(cfg: BrickGridConfig, table: jnp.ndarray,
         xp = jnp.pad(xc, ((0, 0), (0, pad)))
         body = lambda c: _encode_chunk(cfg, table, storage, c)
         if remat:
-            body = jax.checkpoint(body)
+            body = jax.checkpoint(body, policy=_SAVE_OUTS)
         xs = jnp.moveaxis(xp.reshape(3, -1, chunk), 1, 0)  # (nc, 3, chunk)
         out = jax.lax.map(body, xs)
         return out.reshape(-1, L * F)[:N]
@@ -225,8 +235,9 @@ def _encode_chunk(cfg: BrickGridConfig, table, storage, xT):
     S = jnp.asarray(_select_matrix(cfg))
     out = jnp.dot(g * w, S, preferred_element_type=jnp.float32)
     # (L*N, F) -> (N, L*F) level-major
-    return jnp.transpose(out.reshape(L, N, F), (1, 0, 2)
-                         ).reshape(N, L * F)
+    feats = jnp.transpose(out.reshape(L, N, F), (1, 0, 2)
+                          ).reshape(N, L * F)
+    return checkpoint_name(feats, "brick_feats")
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "remat", "jac_lo",
@@ -255,7 +266,7 @@ def brickgrid_encode_grad(cfg: BrickGridConfig, table: jnp.ndarray,
         body = lambda c: _encode_grad_chunk(cfg, table, storage, c,
                                             jac_lo, jac_hi)
         if remat:
-            body = jax.checkpoint(body)
+            body = jax.checkpoint(body, policy=_SAVE_OUTS)
         xs = jnp.moveaxis(xp.reshape(3, -1, chunk), 1, 0)
         feats, jac = jax.lax.map(body, xs)
         return (feats.reshape(-1, L * F)[:N],
@@ -296,6 +307,27 @@ def _encode_grad_chunk(cfg: BrickGridConfig, table, storage, xT,
 
     g = table_gather(table, rows.reshape(-1), axis=0, storage=storage)
 
+    # fused Pallas reduce: one pass over g for feats + jacobian instead
+    # of four XLA fusions each re-reading the gathered block from HBM
+    # (PERF_NOTES trace table); falls back to XLA off-TPU / off-shape
+    from .pallas.brickreduce_pallas import (fused_brick_reduce,
+                                            reduce_supported,
+                                            pallas_supported, ROW_TILE)
+    if (reduce_supported(B, F, cfg.row_width, jac_lo, jac_hi)
+            and (L * N) % ROW_TILE == 0 and pallas_supported()):
+        sc_rows = jnp.repeat(scales, N)
+        lf = jnp.concatenate([
+            local.reshape(3, L * N).astype(jnp.float32),
+            frac.reshape(3, L * N),
+            sc_rows[None], jnp.zeros((1, L * N), jnp.float32)], 0)
+        feats_cm, jac_cm = fused_brick_reduce(g, lf, F)
+        feats = jnp.transpose(feats_cm.reshape(F, L, N),
+                              (2, 1, 0)).reshape(N, L * F)
+        jac = jnp.transpose(jac_cm.reshape(3, F, L, N),
+                            (0, 3, 2, 1)).reshape(3, N, L * F)
+        return (checkpoint_name(feats, "brick_feats"),
+                checkpoint_name(jac, "brick_jac"))
+
     li, lj, lk = _lane_coords(cfg)
 
     def axis_parts(lane_c, loc, fr):
@@ -326,4 +358,5 @@ def _encode_grad_chunk(cfg: BrickGridConfig, table, storage, xT,
     jac = jnp.stack([reduce(dwx * wy * wz * sc, Sj, Fj),
                      reduce(wx * dwy * wz * sc, Sj, Fj),
                      reduce(wx * wy * dwz * sc, Sj, Fj)])
-    return feats, jac
+    return (checkpoint_name(feats, "brick_feats"),
+            checkpoint_name(jac, "brick_jac"))

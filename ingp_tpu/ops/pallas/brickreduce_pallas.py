@@ -1,0 +1,207 @@
+"""Pallas TPU kernel: fused brick-lattice trilerp reduce (+ jacobian).
+
+The brick encoder's grad pass (ops/brickgrid._encode_grad_chunk) computes
+four reductions of the gathered row block g (n, 256):
+
+    feats = (g * wx*wy*wz)        @ S
+    jac_d = (g * dW_d * scale)    @ S     for d in {x, y, z}
+
+XLA emits them as four separate fusions, each re-reading the 268 MB
+block from HBM (measured 58 ms/step, PERF_NOTES.md trace table). This
+kernel streams each g tile through VMEM ONCE, builds the four weight
+planes on the VPU from per-row (local, frac, scale), and runs the four
+tiny select matmuls on the MXU.
+
+The backward is the transpose computed in a single VPU pass: the select
+matrix S maps lane q = p*F + f to feature f, so (ct @ S^T)[*, q] is just
+ct[*, q % F] — a broadcast, no matmul:
+
+    d_g = wx*wy*wz * df[q%F] + sum_d dW_d * scale * dj_d[q%F]
+
+replacing another ~35 ms of XLA fusions. Positions are not
+differentiated through this op (training stops gradients at the rays;
+pose refinement uses the unfused path).
+
+Kernel is specialized to brick_size=2 (27 lattice points, the flagship
+op-point); other shapes fall back to the XLA path in ops/brickgrid.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+ROW_TILE = 512          # g rows per grid step
+_P = 3                  # lattice points per axis (brick_size 2)
+_PTS = 27
+
+
+def pallas_supported() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def reduce_supported(brick_size: int, n_features: int, row_width: int,
+                     jac_lo: int, jac_hi) -> bool:
+    """Kernel covers the flagship brick shape: B=2, full-F jacobian.
+
+    OFF unless INGP_PALLAS_REDUCE=1: measured 22.0k vs 22.9k rays/s
+    against the XLA reduce path at the flagship op-point — XLA's
+    per-reduce fusions currently beat this kernel (its output relayouts
+    eat the saved g re-reads). Kept as validated groundwork for a
+    variant that also fuses the gather."""
+    import os
+    if os.environ.get("INGP_PALLAS_REDUCE", "0") != "1":
+        return False
+    return (brick_size == 2 and row_width == n_features * 32
+            and jac_lo == 0 and jac_hi is None)
+
+
+def _lane_coords(W, F):
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    p = q // F
+    valid = p < _PTS
+    li = jnp.where(valid, p // (_P * _P), -1)
+    lj = jnp.where(valid, (p // _P) % _P, -1)
+    lk = jnp.where(valid, p % _P, -1)
+    return li, lj, lk, q % F
+
+
+def _axis_w(lane, loc, fr):
+    at0 = (lane == loc).astype(jnp.float32)
+    at1 = (lane == loc + 1).astype(jnp.float32)
+    return at0 * (1.0 - fr) + at1 * fr, at1 - at0
+
+
+def _fwd_kernel(F, g_ref, lf_ref, sel_ref, feats_ref, jac_ref):
+    W = g_ref.shape[1]
+    g = g_ref[...].astype(jnp.float32)                     # (T, W)
+    li, lj, lk, _ = _lane_coords(W, F)
+    lx = lf_ref[0][:, None]
+    ly = lf_ref[1][:, None]
+    lz = lf_ref[2][:, None]
+    fx = lf_ref[3][:, None]
+    fy = lf_ref[4][:, None]
+    fz = lf_ref[5][:, None]
+    sc = lf_ref[6][:, None]
+    wx, dwx = _axis_w(li, lx, fx)
+    wy, dwy = _axis_w(lj, ly, fy)
+    wz, dwz = _axis_w(lk, lz, fz)
+    sel = sel_ref[...]                                     # (W, F)
+
+    def red(wprod):
+        # (F, T): contract the lane axis, feature-major output (dense)
+        return jax.lax.dot_general(
+            sel, g * wprod, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    feats_ref[...] = red(wx * wy * wz)
+    scT = lf_ref[6][None, :]
+    jac_ref[0:F] = red(dwx * wy * wz) * scT
+    jac_ref[F:2 * F] = red(wx * dwy * wz) * scT
+    jac_ref[2 * F:] = red(wx * wy * dwz) * scT
+    del sc
+
+
+def _bwd_kernel(F, lf_ref, df_ref, dj_ref, dg_ref):
+    W = dg_ref.shape[1]
+    li, lj, lk, lane_f = _lane_coords(W, F)
+    lx = lf_ref[0][:, None]
+    ly = lf_ref[1][:, None]
+    lz = lf_ref[2][:, None]
+    fx = lf_ref[3][:, None]
+    fy = lf_ref[4][:, None]
+    fz = lf_ref[5][:, None]
+    sc = lf_ref[6][:, None]
+    wx, dwx = _axis_w(li, lx, fx)
+    wy, dwy = _axis_w(lj, ly, fy)
+    wz, dwz = _axis_w(lk, lz, fz)
+
+    def bcast(ct):
+        # ct (F, T) -> (T, W) via lane % F (the S^T contraction)
+        out = jnp.zeros(dg_ref.shape, jnp.float32)
+        for f in range(F):
+            out += jnp.where(lane_f == f, ct[f][:, None], 0.0)
+        return out
+
+    dg = bcast(df_ref[...]) * (wx * wy * wz)
+    dg += bcast(dj_ref[0:F]) * (dwx * wy * wz) * sc
+    dg += bcast(dj_ref[F:2 * F]) * (wx * dwy * wz) * sc
+    dg += bcast(dj_ref[2 * F:]) * (wx * wy * dwz) * sc
+    # zero the padding lanes so the table-gradient scatter stays clean
+    dg_ref[...] = jnp.where(li >= 0, dg, 0.0)
+
+
+def _select_matrix(W, F):
+    import numpy as np
+    S = np.zeros((W, F), np.float32)
+    for p in range(_PTS):
+        for f in range(F):
+            S[p * F + f, f] = 1.0
+    return jnp.asarray(S)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_brick_reduce(g, lf, F, interpret=False):
+    """g (n, W) gathered rows, lf (8, n) f32 [lx,ly,lz,fx,fy,fz,scale,0].
+
+    Returns (feats (F, n), jac (3F, n)) feature-major. n must be a
+    multiple of ROW_TILE (the brick chunk sizes are).
+    """
+    n, W = g.shape
+    grid = (n // ROW_TILE,)
+    sel = _select_matrix(W, F)
+    feats, jac = pl.pallas_call(
+        functools.partial(_fwd_kernel, F),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROW_TILE, W), lambda i: (i, 0)),
+            pl.BlockSpec((8, ROW_TILE), lambda i: (0, i)),
+            pl.BlockSpec((W, F), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((F, ROW_TILE), lambda i: (0, i)),
+            pl.BlockSpec((3 * F, ROW_TILE), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((F, n), jnp.float32),
+            jax.ShapeDtypeStruct((3 * F, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g, lf, sel)
+    return feats, jac
+
+
+def _fbr_fwd(g, lf, F, interpret):
+    # dtype token: zero-size array (residuals must be JAX types); the
+    # shape is static — W = 32*F by the reduce_supported gate, n from lf
+    return (fused_brick_reduce(g, lf, F, interpret),
+            (lf, jnp.zeros((0,), g.dtype)))
+
+
+def _fbr_bwd(F, interpret, res, cts):
+    lf, g_token = res
+    g_dtype = g_token.dtype
+    df, dj = cts
+    n, W = lf.shape[1], 32 * F
+    grid = (n // ROW_TILE,)
+    dg = pl.pallas_call(
+        functools.partial(_bwd_kernel, F),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, ROW_TILE), lambda i: (0, i)),
+            pl.BlockSpec((F, ROW_TILE), lambda i: (0, i)),
+            pl.BlockSpec((3 * F, ROW_TILE), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((ROW_TILE, W), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, W), jnp.float32),
+        interpret=interpret,
+    )(lf, df.astype(jnp.float32), dj.astype(jnp.float32))
+    return dg.astype(g_dtype), jnp.zeros(lf.shape, lf.dtype)
+
+
+fused_brick_reduce.defvjp(_fbr_fwd, _fbr_bwd)

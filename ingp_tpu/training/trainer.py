@@ -58,6 +58,8 @@ def model_config_from_hparams(h) -> NGPConfig:
         rgb_log2T=getattr(h, "rgb_log2T", 21),
         encoder=getattr(h, "encoder", "hash"),
         table_dtype=getattr(h, "table_dtype", "float32"),
+        encode_chunk=getattr(h, "encode_chunk", 16384),
+        encode_remat=getattr(h, "encode_remat", True),
     )
 
 
