@@ -65,3 +65,26 @@ def test_frame_embedding_modes():
     d = np.sum((poses[:, :, 3] - q[:, 3]) ** 2, 1)
     two = np.argsort(d)[:2]
     np.testing.assert_allclose(mean_emb, table[two].mean(0), atol=1e-6)
+
+
+def test_debug_store_roundtrip():
+    """Reference global_var parity (models/global_var.py): init keys,
+    set/get, and in-jit recording via jax.debug.callback."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ingp_tpu.utils import debug_store
+
+    debug_store.init()
+    assert debug_store.get_value("log_dL_dsigmas").shape == (1,)
+    debug_store.set_value("x", 3)
+    assert debug_store.get_value("x") == 3
+
+    @jax.jit
+    def f(v):
+        jax.debug.callback(debug_store.record("grad_probe"), v * 2)
+        return v + 1
+
+    f(jnp.ones(4)).block_until_ready()
+    np.testing.assert_allclose(
+        np.asarray(debug_store.get_value("grad_probe")), 2 * np.ones(4))
