@@ -22,7 +22,7 @@ NOMINAL_REF_RAYS_PER_S = 4.0e5
 
 STEPS_MEASURE = 30
 STEPS_WARMUP = 3
-BATCH = 8192
+BATCH = int(os.environ.get("BENCH_BS", "8192"))
 
 
 def main():
