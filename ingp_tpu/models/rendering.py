@@ -32,7 +32,8 @@ from ..ops.pack import (
     compact_samples, gather_samples, scatter_back, scatter_back_cm,
     ray_ids_for,
 )
-from .ngp import NGPConfig, ngp_forward_cm, ngp_forward_skybox
+from .ngp import (NGPConfig, ngp_forward_cm, ngp_forward_rays,
+                  ngp_forward_skybox)
 
 MAX_SAMPLES = 1024    # models/rendering.py:9
 NEAR_DISTANCE = 0.01  # models/rendering.py:10
@@ -53,6 +54,13 @@ class RenderConfig:
     # fused Pallas composite kernel (ops/pallas/); requires R % 8 == 0
     # and capacity % 128 == 0
     pallas_composite: bool = False
+    # ray-run dedup encoding (ops/raybrick.py): skip the sample
+    # compaction and encode the (R, capacity) march grid directly, with
+    # one table row per brick run per ray. Requires the brick/fused
+    # encoder; capacity doubles as the per-ray sample budget
+    # (samples_per_ray is ignored on this path).
+    ray_dedup: bool = False
+    dedup_slack: float = 1.0     # cap headroom for non-contiguous runs
 
     def march_cfg(self, model: NGPConfig) -> MarchConfig:
         return MarchConfig(
@@ -112,35 +120,70 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
                                    noise)
     ts, deltas, valid = march["ts"], march["deltas"], march["valid"]
 
-    # ragged -> fixed: pack valid samples into a (K,) network batch.
-    # All per-sample channel quantities are channel-major (C, K) /
-    # (C, R, S): a trailing 3 pads to 128 TPU lanes (42x HBM traffic).
-    plan = compact_samples(valid, K)
-    rids = ray_ids_for(plan)
-    t_k = gather_samples(ts, plan)                         # (K,)
-    # positions differentiate through rays (pose refinement) but not t
-    # (RayMarcher backward, custom_functions.py:104-113)
     o_cm, d_cm = rays_o.T, rays_d.T                        # (3, R)
-    dir_cm = d_cm[:, rids]                                 # (3, K)
-    xyz_cm = o_cm[:, rids] + t_k[None] * dir_cm
-    emb_k = embedding_a[rids] if embedding_a is not None else None
+    if render_cfg.ray_dedup:
+        # dense-ray path: no compaction — the (R, S) march grid IS the
+        # network batch (N = R*S ray-major), and the encoder dedups
+        # brick runs along each ray (ops/raybrick.py). The pack/unpack
+        # plumbing and its backward disappear entirely.
+        from ..ops.raybrick import run_caps
+        caps = run_caps(model_cfg.density_brick_cfg
+                        if model_cfg.encoder == "brick"
+                        else model_cfg.fused_brick_cfg,
+                        spr=S, max_samples=render_cfg.max_samples,
+                        slack=render_cfg.dedup_slack)
+        # positions differentiate through rays (pose refinement) but
+        # not t (RayMarcher backward, custom_functions.py:104-113)
+        xyz3 = o_cm[:, :, None] + ts[None] * d_cm[:, :, None]
+        dir_cm = jnp.repeat(d_cm, S, axis=1)               # (3, R*S)
+        emb_k = jnp.repeat(embedding_a, S, axis=0) \
+            if embedding_a is not None else None
 
-    sigmas_k, rgbs_cm, nraw_cm, npred_cm, sems_cm = ngp_forward_cm(
-        model_cfg, params, xyz_cm, dir_cm, embedding_a=emb_k,
-        exposure=exposure,
-        stop_header_grads=render_cfg.stop_header_grads)
+        sigmas_k, rgbs_cm, nraw_cm, npred_cm, sems_cm = ngp_forward_rays(
+            model_cfg, params, xyz3, valid, caps, dir_cm,
+            embedding_a=emb_k, exposure=exposure,
+            stop_header_grads=render_cfg.stop_header_grads)
 
-    # zero out padding lanes before scattering back
-    pad = ~plan.slot_valid
-    sigmas_k = jnp.where(pad, 0.0, sigmas_k)
-    sigmas = scatter_back(sigmas_k, plan)
-    rgbs = scatter_back_cm(rgbs_cm, plan)                  # (3, R, S)
-    npred = scatter_back_cm(npred_cm, plan)
-    nraw = scatter_back_cm(nraw_cm, plan)
-    sems = scatter_back_cm(sems_cm, plan)
+        vflat = valid.reshape(-1)
+        sigmas = jnp.where(vflat, sigmas_k, 0.0).reshape(R, S)
+        rgbs = rgbs_cm.reshape(3, R, S)
+        npred = npred_cm.reshape(3, R, S)
+        nraw = nraw_cm.reshape(3, R, S)
+        sems = sems_cm.reshape(-1, R, S)
+        nraw_k, dir_k = nraw_cm, dir_cm
+        valid_k = valid
+    else:
+        # ragged -> fixed: pack valid samples into a (K,) network batch.
+        # All per-sample channel quantities are channel-major (C, K) /
+        # (C, R, S): a trailing 3 pads to 128 TPU lanes (42x HBM
+        # traffic).
+        plan = compact_samples(valid, K)
+        rids = ray_ids_for(plan)
+        t_k = gather_samples(ts, plan)                     # (K,)
+        # positions differentiate through rays (pose refinement) but
+        # not t (RayMarcher backward, custom_functions.py:104-113)
+        dir_cm = d_cm[:, rids]                             # (3, K)
+        xyz_cm = o_cm[:, rids] + t_k[None] * dir_cm
+        emb_k = embedding_a[rids] if embedding_a is not None else None
 
-    # capacity overflow: samples that didn't fit in K must not composite
-    valid_k = plan.cell_valid
+        sigmas_k, rgbs_cm, nraw_cm, npred_cm, sems_cm = ngp_forward_cm(
+            model_cfg, params, xyz_cm, dir_cm, embedding_a=emb_k,
+            exposure=exposure,
+            stop_header_grads=render_cfg.stop_header_grads)
+
+        # zero out padding lanes before scattering back
+        pad = ~plan.slot_valid
+        sigmas_k = jnp.where(pad, 0.0, sigmas_k)
+        sigmas = scatter_back(sigmas_k, plan)
+        rgbs = scatter_back_cm(rgbs_cm, plan)              # (3, R, S)
+        npred = scatter_back_cm(npred_cm, plan)
+        nraw = scatter_back_cm(nraw_cm, plan)
+        sems = scatter_back_cm(sems_cm, plan)
+        nraw_k, dir_k = nraw_cm, dir_cm
+
+        # capacity overflow: samples that didn't fit in K must not
+        # composite
+        valid_k = plan.cell_valid
 
     if render_cfg.pallas_composite:
         from ..ops.pallas.composite_pallas import (composite_pallas,
@@ -182,10 +225,13 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
 
     # Ref-NeRF normal consistency composites (rendering.py:242-249)
     normals_diff = (nraw - npred) ** 2                    # (3, R, S)
-    dir_n = dir_cm / jnp.maximum(
-        jnp.linalg.norm(dir_cm, axis=0, keepdims=True), 1e-6)
-    ori_k = jnp.maximum(jnp.sum(nraw_cm * dir_n, 0), 0.0) ** 2
-    normals_ori = scatter_back(ori_k, plan)
+    dir_n = dir_k / jnp.maximum(
+        jnp.linalg.norm(dir_k, axis=0, keepdims=True), 1e-6)
+    ori_k = jnp.maximum(jnp.sum(nraw_k * dir_n, 0), 0.0) ** 2
+    if render_cfg.ray_dedup:
+        normals_ori = ori_k.reshape(R, S)
+    else:
+        normals_ori = scatter_back(ori_k, plan)
     Ro, Rp = ref_loss(jax.lax.stop_gradient(sigmas), normals_diff,
                       normals_ori, deltas, valid_k,
                       render_cfg.T_threshold)

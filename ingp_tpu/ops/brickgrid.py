@@ -182,10 +182,10 @@ def brickgrid_encode(cfg: BrickGridConfig, table: jnp.ndarray,
     return _encode_chunk(cfg, table, storage, xc)
 
 
-def _encode_chunk(cfg: BrickGridConfig, table, storage, xT):
-    """xT: channel-major (3, N) chunk."""
-    N = xT.shape[1]
-    L, F = cfg.n_levels, cfg.n_features
+def brick_coords(cfg: BrickGridConfig, xT):
+    """Shared coordinate pipeline: channel-major (3, N) positions in
+    [0,1]^3 -> (rows (L, N) int32 final table row ids incl. hashing and
+    level offsets, local (3, L, N) cell-in-brick, frac (3, L, N))."""
     B = cfg.brick_size
     scales = jnp.asarray(cfg.scales, jnp.float32)
     res = jnp.asarray(cfg.resolutions, jnp.int32)
@@ -213,11 +213,13 @@ def _encode_chunk(cfg: BrickGridConfig, table, storage, xT):
     dense = (bcu[2] * bru + bcu[1]) * bru + bcu[0]
     rows = (jnp.where(hashed[:, None], h, dense)
             + offsets[:, None]).astype(jnp.int32)             # (L, N)
+    return rows, local, frac
 
-    g = table_gather(table, rows.reshape(-1), axis=0,
-                     storage=storage)                  # (L*N, W) f32
 
-    # per-lane static lattice coords
+def reduce_feats(cfg: BrickGridConfig, g, local, frac, N):
+    """Trilerp-weight the gathered rows g (L*N, W) and reduce to
+    (N, L*F) level-major features."""
+    L, F = cfg.n_levels, cfg.n_features
     li, lj, lk = _lane_coords(cfg)
 
     def axis_w(lane_c, loc, fr):
@@ -238,6 +240,15 @@ def _encode_chunk(cfg: BrickGridConfig, table, storage, xT):
     feats = jnp.transpose(out.reshape(L, N, F), (1, 0, 2)
                           ).reshape(N, L * F)
     return checkpoint_name(feats, "brick_feats")
+
+
+def _encode_chunk(cfg: BrickGridConfig, table, storage, xT):
+    """xT: channel-major (3, N) chunk."""
+    N = xT.shape[1]
+    rows, local, frac = brick_coords(cfg, xT)
+    g = table_gather(table, rows.reshape(-1), axis=0,
+                     storage=storage)                  # (L*N, W) f32
+    return reduce_feats(cfg, g, local, frac, N)
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "remat", "jac_lo",
@@ -274,38 +285,14 @@ def brickgrid_encode_grad(cfg: BrickGridConfig, table: jnp.ndarray,
     return _encode_grad_chunk(cfg, table, storage, xc, jac_lo, jac_hi)
 
 
-def _encode_grad_chunk(cfg: BrickGridConfig, table, storage, xT,
-                       jac_lo, jac_hi):
-    """xT: channel-major (3, N) chunk."""
-    N = xT.shape[1]
+def reduce_feats_jac(cfg: BrickGridConfig, g, local, frac, N,
+                     jac_lo=0, jac_hi=None):
+    """Trilerp-weight g (L*N, W) and reduce to (feats (N, L*F),
+    jac (3, N, L*Fj)) with the analytic d/dx of the interpolation."""
     L, F = cfg.n_levels, cfg.n_features
-    Fj = (F if jac_hi is None else jac_hi) - jac_lo
     B = cfg.brick_size
+    Fj = (F if jac_hi is None else jac_hi) - jac_lo
     scales = jnp.asarray(cfg.scales, jnp.float32)
-    res = jnp.asarray(cfg.resolutions, jnp.int32)
-    bres = jnp.asarray(cfg.brick_res, jnp.int32)
-    offsets = jnp.asarray(cfg.offsets, jnp.uint32)
-    hashed = jnp.asarray(cfg.hashed, jnp.bool_)
-    mask = jnp.uint32((1 << cfg.log2_bricks) - 1)
-
-    pos = xT[:, None, :] * scales[None, :, None] + 0.5
-    pos_grid = jnp.clip(jnp.floor(pos), 0,
-                        (res[None, :, None] - 2).astype(jnp.float32))
-    frac = pos - pos_grid
-    cell = pos_grid.astype(jnp.int32)
-    bc = cell // B
-    local = cell - bc * B
-
-    bcu = bc.astype(jnp.uint32)
-    h = (bcu[0] * jnp.uint32(_PRIMES[0])
-         ^ bcu[1] * jnp.uint32(_PRIMES[1])
-         ^ bcu[2] * jnp.uint32(_PRIMES[2])) & mask
-    bru = bres.astype(jnp.uint32)[:, None]
-    dense = (bcu[2] * bru + bcu[1]) * bru + bcu[0]
-    rows = (jnp.where(hashed[:, None], h, dense)
-            + offsets[:, None]).astype(jnp.int32)
-
-    g = table_gather(table, rows.reshape(-1), axis=0, storage=storage)
 
     # fused Pallas reduce: one pass over g for feats + jacobian instead
     # of four XLA fusions each re-reading the gathered block from HBM
@@ -360,3 +347,12 @@ def _encode_grad_chunk(cfg: BrickGridConfig, table, storage, xT,
                      reduce(wx * wy * dwz * sc, Sj, Fj)])
     return (checkpoint_name(feats, "brick_feats"),
             checkpoint_name(jac, "brick_jac"))
+
+
+def _encode_grad_chunk(cfg: BrickGridConfig, table, storage, xT,
+                       jac_lo, jac_hi):
+    """xT: channel-major (3, N) chunk."""
+    N = xT.shape[1]
+    rows, local, frac = brick_coords(cfg, xT)
+    g = table_gather(table, rows.reshape(-1), axis=0, storage=storage)
+    return reduce_feats_jac(cfg, g, local, frac, N, jac_lo, jac_hi)

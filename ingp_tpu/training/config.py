@@ -112,6 +112,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--pallas_composite", action="store_true",
                         default=False,
                         help="fused Pallas composite kernel (TPU)")
+    parser.add_argument("--ray_dedup", action="store_true", default=False,
+                        help="ray-run dedup encoding (ops/raybrick.py): "
+                             "one table row per brick run along each "
+                             "ray; requires brick/fused encoder, "
+                             "constant-dt scenes")
+    parser.add_argument("--dedup_slack", type=float, default=1.0,
+                        help="run-cap headroom factor for ray_dedup")
     parser.add_argument("--sparsity_loss", type=float, default=0.0,
                         help="global mean-sigma sparsity prior weight "
                              "(carves unsupervised fog; not in the "

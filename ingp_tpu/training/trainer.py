@@ -65,17 +65,27 @@ def model_config_from_hparams(h) -> NGPConfig:
 
 def render_config_from_hparams(h, test=False) -> RenderConfig:
     exp_step = 1.0 / 256 if h.dataset_name in REAL_DATASETS else 0.0
+    # ray_dedup renders on the (R, capacity) grid with run-dedup encode;
+    # the per-ray budget IS the capacity (see RenderConfig). Requires
+    # the brick/fused encoder and a constant-dt lattice (exp_step 0,
+    # where the run-cap calibration holds).
+    ray_dedup = (getattr(h, "ray_dedup", False) and exp_step == 0.0
+                 and not test   # test path keeps the two-phase renderer
+                 and getattr(h, "encoder", "hash") in ("brick", "fused"))
+    spr = getattr(h, "samples_per_ray", 48)
     return RenderConfig(
         exp_step_factor=exp_step,
         T_threshold=1e-2 if test else 1e-4,   # render.py:125 / rendering.py:227
         max_samples=MAX_SAMPLES,
-        capacity=getattr(h, "capacity", 192),
+        capacity=spr if ray_dedup else getattr(h, "capacity", 192),
         march_iters=getattr(h, "march_iters", 1024),
-        samples_per_ray=getattr(h, "samples_per_ray", 48),
+        samples_per_ray=spr,
         use_skybox=h.use_skybox,
         random_bg=h.random_bg,
         stop_header_grads=test,
         pallas_composite=getattr(h, "pallas_composite", False),
+        ray_dedup=ray_dedup,
+        dedup_slack=getattr(h, "dedup_slack", 1.0),
     )
 
 
