@@ -28,7 +28,12 @@ def timeit(fn, *args, iters=10):
     tot = jax.jit(lambda *a: jax.tree_util.tree_reduce(
         lambda acc, x: acc + jnp.sum(x.astype(jnp.float32)) * 1e-9,
         fn(*a), 0.0))
-    float(tot(*args))
+    # burn-in: the first few executions through the axon tunnel are
+    # inflated (lazy runtime warmup) — never time them
+    acc = 0.0
+    for _ in range(3):
+        acc = acc + tot(*args)
+    float(acc)
     t0 = time.perf_counter()
     acc = 0.0
     for _ in range(iters):

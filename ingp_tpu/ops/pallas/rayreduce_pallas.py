@@ -1,0 +1,215 @@
+"""Pallas TPU kernel: fused unique-row expand + trilerp reduce.
+
+Second stage of the ray-run dedup encoder (ops/raybrick.py). The XLA
+path materializes the expanded per-sample row block g (L*S*R, 256) in
+HBM (1.6 GB/chunk), then re-reads it for each of the four weighted
+reductions, and the backward materializes its cotangent again. This
+kernel keeps the whole per-sample row space in VMEM:
+
+  forward:  per ray tile, slab of samples
+      g_exp = one_hot(uid) @ G_ray          (MXU, VMEM-resident)
+      feats = (g_exp * wx*wy*wz)      @ S   (MXU)
+      jac_d = (g_exp * dW_d * scale)  @ S   (MXU, optional)
+    HBM traffic: G in (~0.9 KB/ray/slot), lf/uid in, feats/jac out —
+    the (n, 256) expanded block never exists.
+
+  backward: the reduce transpose is a lane-broadcast (S^T maps feature
+    f to lanes q % F == f), and the expand transpose contracts the
+    sample axis back to unique slots:
+      d_G_ray = one_hot(uid)^T @ (w * ct_bcast)   (MXU, accumulated
+                across sample slabs in the revisited output block)
+    so the only HBM-side backward work left is the R*U_tot-row
+    scatter-add done by the caller (ops/gather.table_gather's vjp).
+
+Specialized to brick_size=2 rows (27 points, W = 32*F lanes).
+Positions are not differentiated through this op (the dedup train path
+stops ray gradients at the marcher, matching RayMarcher semantics);
+pose refinement uses the unfused path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .brickreduce_pallas import (_lane_coords, _axis_w, _select_matrix,
+                                 pallas_supported, _PTS)
+
+RAY_TILE = 8        # rays per grid step
+K_SLAB = 128        # samples (l*S + s cells) per grid step
+
+
+def rayreduce_supported(brick_size: int, n_features: int, row_width: int,
+                        jac_lo: int, jac_hi, K: int, R: int,
+                        with_jac: bool) -> bool:
+    import os
+    if os.environ.get("INGP_PALLAS_RAYREDUCE", "1") != "1":
+        return False
+    if with_jac and not (jac_lo == 0 and jac_hi is None):
+        return False
+    return (brick_size == 2 and row_width == n_features * 32
+            and K % K_SLAB == 0 and R % RAY_TILE == 0)
+
+
+def _weights(lf, W, F):
+    li, lj, lk, lane_f = _lane_coords(W, F)
+    wx, dwx = _axis_w(li, lf[0][:, None], lf[3][:, None])
+    wy, dwy = _axis_w(lj, lf[1][:, None], lf[4][:, None])
+    wz, dwz = _axis_w(lk, lf[2][:, None], lf[5][:, None])
+    return (wx, wy, wz, dwx, dwy, dwz, lf[6][:, None], lane_f, li)
+
+
+# Both kernels process the tile one RAY at a time: the (KS, W) weight
+# planes and row slabs then bound live VMEM at ~1.5 MB regardless of
+# RAY_TILE (an all-rays formulation allocated (TR*KS, W) f32 planes and
+# blew the 16 MB scoped-vmem limit at spr=48).
+
+def _fwd_kernel(F, U, with_jac, G_ref, uid_ref, lf_ref, sel_ref,
+                feats_ref, *jac_ref):
+    W = G_ref.shape[-1]
+    TR, KS = uid_ref.shape
+    sel = sel_ref[...]
+    u_iota = jax.lax.broadcasted_iota(jnp.int32, (KS, U), 1)
+    for r in range(TR):
+        oh = (uid_ref[r][:, None] == u_iota).astype(jnp.float32)
+        g = jax.lax.dot_general(
+            oh, G_ref[r].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (KS, W)
+        lf = lf_ref[:, r, :]                               # (8, KS)
+        wx, wy, wz, dwx, dwy, dwz, sc, _, _ = _weights(lf, W, F)
+
+        def red(wprod):
+            return jax.lax.dot_general(
+                sel, g * wprod, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (F, KS)
+
+        feats_ref[:, r, :] = red(wx * wy * wz)
+        if with_jac:
+            scT = lf[6][None, :]
+            jac_ref[0][0:F, r, :] = red(dwx * wy * wz) * scT
+            jac_ref[0][F:2 * F, r, :] = red(wx * dwy * wz) * scT
+            jac_ref[0][2 * F:, r, :] = red(wx * wy * dwz) * scT
+
+
+def _bwd_kernel(F, U, with_jac, sel_ref, uid_ref, lf_ref, df_ref, *rest):
+    dj_ref = rest[0] if with_jac else None
+    dG_ref = rest[-1]
+    W = dG_ref.shape[-1]
+    TR, KS = uid_ref.shape
+    first = pl.program_id(1) == 0
+    u_iota = jax.lax.broadcasted_iota(jnp.int32, (KS, U), 1)
+    selT = sel_ref[...].T                                  # (F, W) 0/1
+    for r in range(TR):
+        lf = lf_ref[:, r, :]
+        wx, wy, wz, dwx, dwy, dwz, sc, _, li = _weights(lf, W, F)
+
+        def bcast(ct):
+            # ct (F, KS) -> (KS, W): the S^T contraction as ONE MXU dot
+            # (ct^T @ sel^T) instead of F lane-select adds
+            return jax.lax.dot_general(
+                ct, selT, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        dg = bcast(df_ref[:, r, :]) * (wx * wy * wz)
+        if with_jac:
+            dj = dj_ref[:, r, :]
+            dg += bcast(dj[0:F]) * (dwx * wy * wz) * sc
+            dg += bcast(dj[F:2 * F]) * (wx * dwy * wz) * sc
+            dg += bcast(dj[2 * F:]) * (wx * wy * dwz) * sc
+        dg = jnp.where(li >= 0, dg, 0.0)                   # padding lanes
+
+        oh = (uid_ref[r][:, None] == u_iota).astype(jnp.float32)
+        dG = jax.lax.dot_general(
+            oh, dg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (U, W)
+
+        @pl.when(first)
+        def _():
+            dG_ref[r] = dG
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dG_ref[r] += dG
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_ray_reduce(g_u, uid, lf, F, with_jac=True, interpret=False):
+    """Fused expand + trilerp reduce over ray-structured samples.
+
+    Args:
+      g_u: (R, U, W) unique brick rows (f32).
+      uid: (R, K) int32 unique-slot id per sample cell, K = L*S.
+      lf:  (8, R, K) f32 [lx, ly, lz, fx, fy, fz, scale, 0].
+      F: features per point; W must be 32*F (brick_size 2).
+      with_jac: also return the 3-axis spatial jacobian.
+
+    Returns (feats (F, R, K), jac (3F, R, K) or None), feature-major.
+    """
+    R, U, W = g_u.shape
+    K = uid.shape[1]
+    grid = (R // RAY_TILE, K // K_SLAB)
+    sel = _select_matrix(W, F)
+    out_shape = [jax.ShapeDtypeStruct((F, R, K), jnp.float32)]
+    out_specs = [pl.BlockSpec((F, RAY_TILE, K_SLAB),
+                              lambda i, j: (0, i, j))]
+    if with_jac:
+        out_shape.append(jax.ShapeDtypeStruct((3 * F, R, K), jnp.float32))
+        out_specs.append(pl.BlockSpec((3 * F, RAY_TILE, K_SLAB),
+                                      lambda i, j: (0, i, j)))
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, F, U, with_jac),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RAY_TILE, U, W), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((RAY_TILE, K_SLAB), lambda i, j: (i, j)),
+            pl.BlockSpec((8, RAY_TILE, K_SLAB), lambda i, j: (0, i, j)),
+            pl.BlockSpec((W, F), lambda i, j: (0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(g_u, uid, lf, sel)
+    return (outs[0], outs[1]) if with_jac else (outs[0], None)
+
+
+def _frr_fwd(g_u, uid, lf, F, with_jac, interpret):
+    out = fused_ray_reduce(g_u, uid, lf, F, with_jac, interpret)
+    # zero-size token carries U and g_u's dtype into the backward
+    token = jnp.zeros((0,) + g_u.shape[1:], g_u.dtype)
+    return out, (uid, lf, token)
+
+
+def _frr_bwd(F, with_jac, interpret, res, cts):
+    import numpy as np
+    uid, lf, token = res
+    U, W = token.shape[1], token.shape[2]
+    df, dj = cts
+    R, K = uid.shape
+    grid = (R // RAY_TILE, K // K_SLAB)
+    in_specs = [
+        pl.BlockSpec((W, F), lambda i, j: (0, 0)),
+        pl.BlockSpec((RAY_TILE, K_SLAB), lambda i, j: (i, j)),
+        pl.BlockSpec((8, RAY_TILE, K_SLAB), lambda i, j: (0, i, j)),
+        pl.BlockSpec((F, RAY_TILE, K_SLAB), lambda i, j: (0, i, j)),
+    ]
+    args = [_select_matrix(W, F), uid, lf, df.astype(jnp.float32)]
+    if with_jac:
+        in_specs.append(pl.BlockSpec((3 * F, RAY_TILE, K_SLAB),
+                                     lambda i, j: (0, i, j)))
+        args.append(dj.astype(jnp.float32))
+    dG = pl.pallas_call(
+        functools.partial(_bwd_kernel, F, U, with_jac),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((RAY_TILE, U, W), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((R, U, W), jnp.float32),
+        interpret=interpret,
+    )(*args)
+    return (dG.astype(token.dtype),
+            np.zeros(uid.shape, jax.dtypes.float0),
+            jnp.zeros(lf.shape, lf.dtype))
+
+
+fused_ray_reduce.defvjp(_frr_fwd, _frr_bwd)

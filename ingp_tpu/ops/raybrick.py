@@ -171,18 +171,73 @@ def _dedup_gather(cfg: BrickGridConfig, table, storage, xT, valid, caps):
     return g, local, frac, N
 
 
+def _try_fused(cfg, table, storage, xT, valid, caps, jac_lo, jac_hi,
+               with_jac):
+    """Fused Pallas expand+reduce path (ops/pallas/rayreduce_pallas.py);
+    returns None when the kernel doesn't cover the shape/backend."""
+    from .pallas.rayreduce_pallas import (fused_ray_reduce,
+                                          rayreduce_supported)
+    from .pallas.brickreduce_pallas import pallas_supported
+    R, S = valid.shape
+    L, F = cfg.n_levels, cfg.n_features
+    K = L * S
+    if not (rayreduce_supported(cfg.brick_size, F, cfg.row_width,
+                                jac_lo, jac_hi, K, R, with_jac)
+            and pallas_supported()):
+        return None
+    N = R * S
+    rows, local, frac = brick_coords(cfg, xT)
+    uid, urows = _unique_plan(cfg, rows.reshape(L, R, S), valid, caps)
+    uid = checkpoint_name(uid, "raybrick_uid")
+    urows = checkpoint_name(urows, "raybrick_urows")
+    U_tot = int(np.sum(caps))
+    g_u = table_gather(table, urows.reshape(-1), axis=0,
+                       storage=storage).reshape(R, U_tot, -1)
+
+    # lf planes (8, R, K), k = l*S + s
+    def to_rk(a):                               # (3, L, N) -> (3, R, K)
+        return jnp.transpose(a.reshape(3, L, R, S), (0, 2, 1, 3)
+                             ).reshape(3, R, K)
+    sc = jnp.repeat(jnp.asarray(cfg.scales, jnp.float32), S)  # (K,)
+    lf = jnp.concatenate([
+        to_rk(local.astype(jnp.float32)), to_rk(frac),
+        jnp.broadcast_to(sc, (1, R, K)),
+        jnp.zeros((1, R, K), jnp.float32)], axis=0)
+
+    feats_cm, jac_cm = fused_ray_reduce(g_u, uid, lf, F, with_jac)
+    feats = jnp.transpose(feats_cm.reshape(F, R, L, S), (1, 3, 2, 0)
+                          ).reshape(N, L * F)
+    feats = checkpoint_name(feats, "brick_feats")
+    if not with_jac:
+        return feats, None
+    jac = jnp.transpose(jac_cm.reshape(3, F, R, L, S), (0, 2, 4, 3, 1)
+                        ).reshape(3, N, L * F)
+    return feats, checkpoint_name(jac, "brick_jac")
+
+
 def _encode_chunk_dedup(cfg, table, storage, caps, xT, valid):
-    g, local, frac, N = _dedup_gather(cfg, table, storage, xT, valid,
-                                      caps)
-    feats = reduce_feats(cfg, g, local, frac, N)
+    fused = _try_fused(cfg, table, storage, xT, valid, caps, 0, None,
+                       with_jac=False)
+    if fused is not None:
+        feats = fused[0]
+    else:
+        g, local, frac, N = _dedup_gather(cfg, table, storage, xT,
+                                          valid, caps)
+        feats = reduce_feats(cfg, g, local, frac, N)
     return jnp.where(valid.reshape(-1, 1), feats, 0.0)
 
 
 def _encode_grad_chunk_dedup(cfg, table, storage, caps, xT, valid,
                              jac_lo, jac_hi):
-    g, local, frac, N = _dedup_gather(cfg, table, storage, xT, valid,
-                                      caps)
-    feats, jac = reduce_feats_jac(cfg, g, local, frac, N, jac_lo, jac_hi)
+    fused = _try_fused(cfg, table, storage, xT, valid, caps, jac_lo,
+                       jac_hi, with_jac=True)
+    if fused is not None:
+        feats, jac = fused
+    else:
+        g, local, frac, N = _dedup_gather(cfg, table, storage, xT,
+                                          valid, caps)
+        feats, jac = reduce_feats_jac(cfg, g, local, frac, N, jac_lo,
+                                      jac_hi)
     vmask = valid.reshape(-1)
     return (jnp.where(vmask[:, None], feats, 0.0),
             jnp.where(vmask[None, :, None], jac, 0.0))

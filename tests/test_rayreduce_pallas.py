@@ -1,0 +1,96 @@
+"""Fused ray-expand+reduce Pallas kernel vs the XLA dedup path
+(interpret mode; the real-TPU comparison lives in the bench)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ingp_tpu.ops.brickgrid import (BrickGridConfig, brickgrid_init,
+                                    brick_coords, reduce_feats_jac)
+from ingp_tpu.ops.raybrick import _unique_plan, _expand_unique
+from ingp_tpu.ops.pallas.rayreduce_pallas import fused_ray_reduce
+
+CFG = BrickGridConfig(n_levels=8, n_features=8, log2_bricks=8,
+                      base_resolution=16, per_level_scale=1.45)
+R, S = 8, 16
+L, F = CFG.n_levels, CFG.n_features
+K = L * S
+
+
+def setup(key):
+    table = brickgrid_init(key, CFG)
+    kd, ko = jax.random.split(key)
+    d = jax.random.normal(kd, (R, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    o = jax.random.uniform(ko, (R, 3)) * 0.4 + 0.2
+    t = jnp.arange(S)[None, :] * (np.sqrt(3) / 256)
+    x = jnp.clip(o[:, None, :] + t[..., None] * d[:, None, :], 0, 1)
+    xT = jnp.transpose(x, (2, 0, 1)).reshape(3, -1)       # ray-major
+    valid = jnp.ones((R, S), bool)
+    caps = (S,) * L
+    rows, local, frac = brick_coords(CFG, xT)
+    uid, urows = _unique_plan(CFG, rows.reshape(L, R, S), valid, caps)
+    U = int(np.sum(caps))
+    g_u = jnp.take(table, urows.reshape(-1), axis=0).reshape(R, U, -1)
+
+    def to_rk(a):
+        return jnp.transpose(a.reshape(3, L, R, S), (0, 2, 1, 3)
+                             ).reshape(3, R, K)
+    sc = jnp.repeat(jnp.asarray(CFG.scales, jnp.float32), S)
+    lf = jnp.concatenate([to_rk(local.astype(jnp.float32)), to_rk(frac),
+                          jnp.broadcast_to(sc, (1, R, K)),
+                          jnp.zeros((1, R, K), jnp.float32)], 0)
+    return table, g_u, uid, lf, local, frac, U
+
+
+def xla_reference(g_u, uid, local, frac, U):
+    g = _expand_unique(g_u, uid, U, jnp.float32)
+    W = g.shape[-1]
+    g = jnp.transpose(g.reshape(R, L, S, W), (1, 0, 2, 3)
+                      ).reshape(L * R * S, W)
+    return reduce_feats_jac(CFG, g, local, frac, R * S)
+
+
+def to_sample_major(feats_cm, jac_cm):
+    feats = jnp.transpose(feats_cm.reshape(F, R, L, S), (1, 3, 2, 0)
+                          ).reshape(R * S, L * F)
+    jac = jnp.transpose(jac_cm.reshape(3, F, R, L, S), (0, 2, 4, 3, 1)
+                        ).reshape(3, R * S, L * F)
+    return feats, jac
+
+
+def test_forward_matches_xla():
+    table, g_u, uid, lf, local, frac, U = setup(jax.random.PRNGKey(0))
+    f_ref, j_ref = xla_reference(g_u, uid, local, frac, U)
+    f_cm, j_cm = fused_ray_reduce(g_u, uid, lf, F, True, True)
+    f, j = to_sample_major(f_cm, j_cm)
+    np.testing.assert_allclose(f, f_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(j, j_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_feats_only_variant():
+    table, g_u, uid, lf, local, frac, U = setup(jax.random.PRNGKey(1))
+    f_ref, _ = xla_reference(g_u, uid, local, frac, U)
+    f_cm, none = fused_ray_reduce(g_u, uid, lf, F, False, True)
+    assert none is None
+    feats = jnp.transpose(f_cm.reshape(F, R, L, S), (1, 3, 2, 0)
+                          ).reshape(R * S, L * F)
+    np.testing.assert_allclose(feats, f_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_backward_matches_xla():
+    table, g_u, uid, lf, local, frac, U = setup(jax.random.PRNGKey(2))
+    wf = jax.random.normal(jax.random.PRNGKey(3), (R * S, L * F))
+    wj = jax.random.normal(jax.random.PRNGKey(4), (3, R * S, L * F))
+
+    def loss_ref(g_u):
+        f, j = xla_reference(g_u, uid, local, frac, U)
+        return jnp.sum(f * wf) + jnp.sum(j * wj)
+
+    def loss_pl(g_u):
+        f_cm, j_cm = fused_ray_reduce(g_u, uid, lf, F, True, True)
+        f, j = to_sample_major(f_cm, j_cm)
+        return jnp.sum(f * wf) + jnp.sum(j * wj)
+
+    g_ref = jax.grad(loss_ref)(g_u)
+    g_pl = jax.grad(loss_pl)(g_u)
+    np.testing.assert_allclose(g_pl, g_ref, rtol=1e-4, atol=1e-4)
