@@ -38,7 +38,17 @@ from .brickreduce_pallas import (_lane_coords, _axis_w, _select_matrix,
                                  pallas_supported, _PTS)
 
 RAY_TILE = 8        # rays per grid step
-K_SLAB = 128        # samples (l*S + s cells) per grid step
+
+
+def _pick_kslab(K: int) -> int:
+    """Samples (l*S + s cells) per grid step: the largest lane-aligned
+    divisor of K up to 512 — bigger slabs amortize per-grid-step
+    overhead (measured ~2.5 us/step of the fwd kernel's ~9 ms/chunk at
+    slab 128) and MXU ramp across the kernel's small matmuls."""
+    for ks in (512, 384, 256, 128):
+        if K % ks == 0:
+            return ks
+    return 0
 
 
 def rayreduce_supported(brick_size: int, n_features: int, row_width: int,
@@ -50,7 +60,7 @@ def rayreduce_supported(brick_size: int, n_features: int, row_width: int,
     if with_jac and not (jac_lo == 0 and jac_hi is None):
         return False
     return (brick_size == 2 and row_width == n_features * 32
-            and K % K_SLAB == 0 and R % RAY_TILE == 0)
+            and _pick_kslab(K) > 0 and R % RAY_TILE == 0)
 
 
 def _weights(lf, W, F):
@@ -71,11 +81,16 @@ def _fwd_kernel(F, U, with_jac, G_ref, uid_ref, lf_ref, sel_ref,
     W = G_ref.shape[-1]
     TR, KS = uid_ref.shape
     sel = sel_ref[...]
+    # run the expansion matmul at the table's storage precision: the
+    # one-hot is exact in bf16 and the rows ARE bf16 data, so a bf16
+    # MXU pass (full rate, vs the multi-pass f32 emulation) reproduces
+    # the f32 expansion bit-for-bit; accumulation stays f32.
+    mm_dt = G_ref.dtype
     u_iota = jax.lax.broadcasted_iota(jnp.int32, (KS, U), 1)
     for r in range(TR):
-        oh = (uid_ref[r][:, None] == u_iota).astype(jnp.float32)
+        oh = (uid_ref[r][:, None] == u_iota).astype(mm_dt)
         g = jax.lax.dot_general(
-            oh, G_ref[r].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            oh, G_ref[r], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (KS, W)
         lf = lf_ref[:, r, :]                               # (8, KS)
         wx, wy, wz, dwx, dwy, dwz, sc, _, _ = _weights(lf, W, F)
@@ -93,45 +108,60 @@ def _fwd_kernel(F, U, with_jac, G_ref, uid_ref, lf_ref, sel_ref,
             jac_ref[0][2 * F:, r, :] = red(wx * wy * dwz) * scT
 
 
-def _bwd_kernel(F, U, with_jac, sel_ref, uid_ref, lf_ref, df_ref, *rest):
+def _bwd_kernel(F, U, with_jac, mm_dt, selT_ref, uid_ref, lf_ref, df_ref,
+                *rest):
     dj_ref = rest[0] if with_jac else None
     dG_ref = rest[-1]
     W = dG_ref.shape[-1]
     TR, KS = uid_ref.shape
     first = pl.program_id(1) == 0
     u_iota = jax.lax.broadcasted_iota(jnp.int32, (KS, U), 1)
-    selT = sel_ref[...].T                                  # (F, W) 0/1
     for r in range(TR):
         lf = lf_ref[:, r, :]
         wx, wy, wz, dwx, dwy, dwz, sc, _, li = _weights(lf, W, F)
 
-        def bcast(ct):
-            # ct (F, KS) -> (KS, W): the S^T contraction as ONE MXU dot
-            # (ct^T @ sel^T) instead of F lane-select adds
-            return jax.lax.dot_general(
-                ct, selT, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        dg = bcast(df_ref[:, r, :]) * (wx * wy * wz)
         if with_jac:
-            dj = dj_ref[:, r, :]
-            dg += bcast(dj[0:F]) * (dwx * wy * wz) * sc
-            dg += bcast(dj[F:2 * F]) * (wx * dwy * wz) * sc
-            dg += bcast(dj[2 * F:]) * (wx * wy * dwz) * sc
+            # ONE S^T contraction for all four cotangent groups: selT is
+            # block-diagonal (4F, 4W), so group g's lane broadcast lands
+            # in lanes [gW, (g+1)W) — a single K=4F MXU dot replaces
+            # four K=F dots.
+            ct_all = jnp.concatenate(
+                [df_ref[:, r, :], dj_ref[:, r, :]], axis=0)   # (4F, KS)
+            big = jax.lax.dot_general(
+                ct_all, selT_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (KS, 4W)
+            dg = (big[:, 0:W] * (wx * wy * wz)
+                  + (big[:, W:2 * W] * (dwx * wy * wz)
+                     + big[:, 2 * W:3 * W] * (wx * dwy * wz)
+                     + big[:, 3 * W:] * (wx * wy * dwz)) * sc)
+        else:
+            dg = jax.lax.dot_general(
+                df_ref[:, r, :], selT_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * (wx * wy * wz)
         dg = jnp.where(li >= 0, dg, 0.0)                   # padding lanes
 
-        oh = (uid_ref[r][:, None] == u_iota).astype(jnp.float32)
+        # the expansion transpose runs at the table storage precision
+        # (mm_dt): bf16 tables round each per-sample cotangent to bf16
+        # before the (exact bf16 one-hot) segment contraction, with f32
+        # accumulation — the same rounding the XLA dedup path applies
+        # in its bf16 expand transpose.
+        oh = (uid_ref[r][:, None] == u_iota).astype(mm_dt)
         dG = jax.lax.dot_general(
-            oh, dg, (((0,), (0,)), ((), ())),
+            oh, dg.astype(mm_dt), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (U, W)
 
-        @pl.when(first)
-        def _():
-            dG_ref[r] = dG
+        if dG_ref.dtype != jnp.float32:
+            # single-slab grid: no accumulation, write at storage dtype
+            # (saves the XLA-side f32 -> bf16 convert pass over (R,U,W))
+            dG_ref[r] = dG.astype(dG_ref.dtype)
+        else:
+            @pl.when(first)
+            def _():
+                dG_ref[r] = dG
 
-        @pl.when(jnp.logical_not(first))
-        def _():
-            dG_ref[r] += dG
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dG_ref[r] += dG
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -139,7 +169,10 @@ def fused_ray_reduce(g_u, uid, lf, F, with_jac=True, interpret=False):
     """Fused expand + trilerp reduce over ray-structured samples.
 
     Args:
-      g_u: (R, U, W) unique brick rows (f32).
+      g_u: (R, U, W) unique brick rows, f32 or the table's storage
+           dtype (bf16 recommended: halves the block's HBM traffic and
+           runs the expansion matmuls at full MXU rate, bit-identically
+           for rows that are bf16 data).
       uid: (R, K) int32 unique-slot id per sample cell, K = L*S.
       lf:  (8, R, K) f32 [lx, ly, lz, fx, fy, fz, scale, 0].
       F: features per point; W must be 32*F (brick_size 2).
@@ -149,22 +182,23 @@ def fused_ray_reduce(g_u, uid, lf, F, with_jac=True, interpret=False):
     """
     R, U, W = g_u.shape
     K = uid.shape[1]
-    grid = (R // RAY_TILE, K // K_SLAB)
+    ks = _pick_kslab(K)
+    grid = (R // RAY_TILE, K // ks)
     sel = _select_matrix(W, F)
     out_shape = [jax.ShapeDtypeStruct((F, R, K), jnp.float32)]
-    out_specs = [pl.BlockSpec((F, RAY_TILE, K_SLAB),
+    out_specs = [pl.BlockSpec((F, RAY_TILE, ks),
                               lambda i, j: (0, i, j))]
     if with_jac:
         out_shape.append(jax.ShapeDtypeStruct((3 * F, R, K), jnp.float32))
-        out_specs.append(pl.BlockSpec((3 * F, RAY_TILE, K_SLAB),
+        out_specs.append(pl.BlockSpec((3 * F, RAY_TILE, ks),
                                       lambda i, j: (0, i, j)))
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, F, U, with_jac),
         grid=grid,
         in_specs=[
             pl.BlockSpec((RAY_TILE, U, W), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((RAY_TILE, K_SLAB), lambda i, j: (i, j)),
-            pl.BlockSpec((8, RAY_TILE, K_SLAB), lambda i, j: (0, i, j)),
+            pl.BlockSpec((RAY_TILE, ks), lambda i, j: (i, j)),
+            pl.BlockSpec((8, RAY_TILE, ks), lambda i, j: (0, i, j)),
             pl.BlockSpec((W, F), lambda i, j: (0, 0)),
         ],
         out_specs=out_specs,
@@ -181,30 +215,46 @@ def _frr_fwd(g_u, uid, lf, F, with_jac, interpret):
     return out, (uid, lf, token)
 
 
+def _selT_blockdiag(W, F, groups):
+    # pure-numpy construction (NOT via _select_matrix, whose jnp
+    # constant is a tracer when this runs inside a traced backward)
+    import numpy as np
+    big = np.zeros((groups * F, groups * W), np.float32)
+    for g in range(groups):
+        for p in range(_PTS):
+            for f in range(F):
+                big[g * F + f, g * W + p * F + f] = 1.0
+    return jnp.asarray(big)
+
+
 def _frr_bwd(F, with_jac, interpret, res, cts):
     import numpy as np
     uid, lf, token = res
     U, W = token.shape[1], token.shape[2]
     df, dj = cts
     R, K = uid.shape
-    grid = (R // RAY_TILE, K // K_SLAB)
+    ks = _pick_kslab(K)
+    single_slab = (K // ks) == 1
+    out_dt = token.dtype if single_slab else jnp.float32
+    groups = 4 if with_jac else 1
+    selT = _selT_blockdiag(W, F, groups)
     in_specs = [
-        pl.BlockSpec((W, F), lambda i, j: (0, 0)),
-        pl.BlockSpec((RAY_TILE, K_SLAB), lambda i, j: (i, j)),
-        pl.BlockSpec((8, RAY_TILE, K_SLAB), lambda i, j: (0, i, j)),
-        pl.BlockSpec((F, RAY_TILE, K_SLAB), lambda i, j: (0, i, j)),
+        pl.BlockSpec((groups * F, groups * W), lambda i, j: (0, 0)),
+        pl.BlockSpec((RAY_TILE, ks), lambda i, j: (i, j)),
+        pl.BlockSpec((8, RAY_TILE, ks), lambda i, j: (0, i, j)),
+        pl.BlockSpec((F, RAY_TILE, ks), lambda i, j: (0, i, j)),
     ]
-    args = [_select_matrix(W, F), uid, lf, df.astype(jnp.float32)]
+    args = [selT, uid, lf, df.astype(jnp.float32)]
     if with_jac:
-        in_specs.append(pl.BlockSpec((3 * F, RAY_TILE, K_SLAB),
+        in_specs.append(pl.BlockSpec((3 * F, RAY_TILE, ks),
                                      lambda i, j: (0, i, j)))
         args.append(dj.astype(jnp.float32))
     dG = pl.pallas_call(
-        functools.partial(_bwd_kernel, F, U, with_jac),
-        grid=grid,
+        functools.partial(_bwd_kernel, F, U, with_jac, token.dtype),
+        grid=(R // RAY_TILE, K // ks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((RAY_TILE, U, W), lambda i, j: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((R, U, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R, U, W), out_dt),
         interpret=interpret,
     )(*args)
     return (dG.astype(token.dtype),

@@ -158,10 +158,12 @@ def _dedup_gather(cfg: BrickGridConfig, table, storage, xT, valid, caps):
     uid, urows = _unique_plan(cfg, rows3, valid, caps)
     uid = checkpoint_name(uid, "raybrick_uid")
     urows = checkpoint_name(urows, "raybrick_urows")
-    g_u = table_gather(table, urows.reshape(-1), axis=0,
-                       storage=storage).reshape(R, U_tot, -1)
-    expand_dtype = jnp.bfloat16 if (storage is not None
-                                    and storage.dtype == jnp.bfloat16) \
+    # keep the gathered block at storage precision: _expand_unique's
+    # one-hot matmul consumes it at expand_dtype anyway, so the f32
+    # materialization would be a pure convert pass over ~0.5 GB/chunk
+    g_u = table_gather(table, urows.reshape(-1), axis=0, storage=storage,
+                       keep_storage_dtype=True).reshape(R, U_tot, -1)
+    expand_dtype = jnp.bfloat16 if g_u.dtype == jnp.bfloat16 \
         else jnp.float32
     g = _expand_unique(g_u, uid, U_tot, expand_dtype)       # (R, L*S, W)
     # (R, L, S, W) -> (L, R, S, W) -> (L*N, W) with N ray-major (r, s)
@@ -191,8 +193,11 @@ def _try_fused(cfg, table, storage, xT, valid, caps, jac_lo, jac_hi,
     uid = checkpoint_name(uid, "raybrick_uid")
     urows = checkpoint_name(urows, "raybrick_urows")
     U_tot = int(np.sum(caps))
-    g_u = table_gather(table, urows.reshape(-1), axis=0,
-                       storage=storage).reshape(R, U_tot, -1)
+    # storage-dtype rows feed the kernel directly: bf16 halves the
+    # block's HBM round trip and the in-kernel expansion matmul runs
+    # at full MXU rate (exact — the rows are bf16 data)
+    g_u = table_gather(table, urows.reshape(-1), axis=0, storage=storage,
+                       keep_storage_dtype=True).reshape(R, U_tot, -1)
 
     # lf planes (8, R, K), k = l*S + s
     def to_rk(a):                               # (3, L, N) -> (3, R, K)

@@ -94,3 +94,40 @@ def test_backward_matches_xla():
     g_ref = jax.grad(loss_ref)(g_u)
     g_pl = jax.grad(loss_pl)(g_u)
     np.testing.assert_allclose(g_pl, g_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_rows_match_f32_forward():
+    """bf16 unique rows (the production table-storage dtype) must
+    reproduce the f32 kernel bit-for-bit in the forward: the one-hot is
+    exact in bf16 and the rows are bf16 data either way."""
+    table, g_u, uid, lf, local, frac, U = setup(jax.random.PRNGKey(5))
+    g_bf = g_u.astype(jnp.bfloat16)
+    f32_cm, j32_cm = fused_ray_reduce(g_bf.astype(jnp.float32), uid, lf,
+                                      F, True, True)
+    fbf_cm, jbf_cm = fused_ray_reduce(g_bf, uid, lf, F, True, True)
+    np.testing.assert_array_equal(np.asarray(fbf_cm), np.asarray(f32_cm))
+    np.testing.assert_array_equal(np.asarray(jbf_cm), np.asarray(j32_cm))
+
+
+def test_bf16_rows_backward_close():
+    """Backward with bf16 rows rounds per-sample cotangents to bf16
+    before the (exact) segment contraction — allclose at bf16 tolerance
+    against the f32 kernel."""
+    table, g_u, uid, lf, local, frac, U = setup(jax.random.PRNGKey(6))
+    g_bf = g_u.astype(jnp.bfloat16)
+    wf = jax.random.normal(jax.random.PRNGKey(7), (R * S, L * F))
+    wj = jax.random.normal(jax.random.PRNGKey(8), (3, R * S, L * F))
+
+    def loss(g):
+        f_cm, j_cm = fused_ray_reduce(g, uid, lf, F, True, True)
+        f, j = to_sample_major(f_cm, j_cm)
+        return jnp.sum(f * wf) + jnp.sum(j * wj)
+
+    d32 = np.asarray(jax.grad(loss)(g_bf.astype(jnp.float32)))
+    dbf = jax.grad(loss)(g_bf)
+    assert dbf.dtype == jnp.bfloat16
+    # bf16 rounding of per-sample cotangents: bound the error against
+    # the gradient's overall scale (plain rtol explodes on entries that
+    # cancel to near zero)
+    err = np.abs(np.asarray(dbf, np.float32) - d32)
+    assert np.max(err) <= 2e-2 * np.max(np.abs(d32))
