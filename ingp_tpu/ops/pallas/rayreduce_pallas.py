@@ -57,8 +57,6 @@ def rayreduce_supported(brick_size: int, n_features: int, row_width: int,
     import os
     if os.environ.get("INGP_PALLAS_RAYREDUCE", "1") != "1":
         return False
-    if with_jac and not (jac_lo == 0 and jac_hi is None):
-        return False
     return (brick_size == 2 and row_width == n_features * 32
             and _pick_kslab(K) > 0 and R % RAY_TILE == 0)
 
@@ -76,11 +74,15 @@ def _weights(lf, W, F):
 # RAY_TILE (an all-rays formulation allocated (TR*KS, W) f32 planes and
 # blew the 16 MB scoped-vmem limit at spr=48).
 
-def _fwd_kernel(F, U, with_jac, G_ref, uid_ref, lf_ref, sel_ref,
+def _fwd_kernel(F, Fj, U, with_jac, G_ref, uid_ref, lf_ref, sel_ref,
                 feats_ref, *jac_ref):
     W = G_ref.shape[-1]
     TR, KS = uid_ref.shape
-    sel = sel_ref[...]
+    # sel stacks the feats select (W, F) with the jacobian-window select
+    # (W, Fj) so partial-jac configs (the fused density|rgb table only
+    # differentiates the density features) reduce only their window
+    sel = sel_ref[..., 0:F]
+    selj = sel_ref[..., F:] if with_jac else None
     # run the expansion matmul at the table's storage precision: the
     # one-hot is exact in bf16 and the rows ARE bf16 data, so a bf16
     # MXU pass (full rate, vs the multi-pass f32 emulation) reproduces
@@ -95,21 +97,21 @@ def _fwd_kernel(F, U, with_jac, G_ref, uid_ref, lf_ref, sel_ref,
         lf = lf_ref[:, r, :]                               # (8, KS)
         wx, wy, wz, dwx, dwy, dwz, sc, _, _ = _weights(lf, W, F)
 
-        def red(wprod):
+        def red(Smat, wprod):
             return jax.lax.dot_general(
-                sel, g * wprod, (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (F, KS)
+                Smat, g * wprod, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (Fo, KS)
 
-        feats_ref[:, r, :] = red(wx * wy * wz)
+        feats_ref[:, r, :] = red(sel, wx * wy * wz)
         if with_jac:
             scT = lf[6][None, :]
-            jac_ref[0][0:F, r, :] = red(dwx * wy * wz) * scT
-            jac_ref[0][F:2 * F, r, :] = red(wx * dwy * wz) * scT
-            jac_ref[0][2 * F:, r, :] = red(wx * wy * dwz) * scT
+            jac_ref[0][0:Fj, r, :] = red(selj, dwx * wy * wz) * scT
+            jac_ref[0][Fj:2 * Fj, r, :] = red(selj, wx * dwy * wz) * scT
+            jac_ref[0][2 * Fj:, r, :] = red(selj, wx * wy * dwz) * scT
 
 
-def _bwd_kernel(F, U, with_jac, mm_dt, selT_ref, uid_ref, lf_ref, df_ref,
-                *rest):
+def _bwd_kernel(F, Fj, U, with_jac, mm_dt, selT_ref, uid_ref, lf_ref,
+                df_ref, *rest):
     dj_ref = rest[0] if with_jac else None
     dG_ref = rest[-1]
     W = dG_ref.shape[-1]
@@ -121,12 +123,12 @@ def _bwd_kernel(F, U, with_jac, mm_dt, selT_ref, uid_ref, lf_ref, df_ref,
         wx, wy, wz, dwx, dwy, dwz, sc, _, li = _weights(lf, W, F)
 
         if with_jac:
-            # ONE S^T contraction for all four cotangent groups: selT is
-            # block-diagonal (4F, 4W), so group g's lane broadcast lands
-            # in lanes [gW, (g+1)W) — a single K=4F MXU dot replaces
-            # four K=F dots.
+            # ONE S^T contraction for all four cotangent groups: selT
+            # is block-diagonal ((F + 3Fj), 4W), so group g's lane
+            # broadcast lands in lanes [gW, (g+1)W) — a single MXU dot
+            # replaces four small-K dots.
             ct_all = jnp.concatenate(
-                [df_ref[:, r, :], dj_ref[:, r, :]], axis=0)   # (4F, KS)
+                [df_ref[:, r, :], dj_ref[:, r, :]], axis=0)
             big = jax.lax.dot_general(
                 ct_all, selT_ref[...], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # (KS, 4W)
@@ -164,8 +166,9 @@ def _bwd_kernel(F, U, with_jac, mm_dt, selT_ref, uid_ref, lf_ref, df_ref,
                 dG_ref[r] += dG
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_ray_reduce(g_u, uid, lf, F, with_jac=True, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_ray_reduce(g_u, uid, lf, F, with_jac=True, jac_lo=0,
+                     jac_hi=None, interpret=False):
     """Fused expand + trilerp reduce over ray-structured samples.
 
     Args:
@@ -177,29 +180,34 @@ def fused_ray_reduce(g_u, uid, lf, F, with_jac=True, interpret=False):
       lf:  (8, R, K) f32 [lx, ly, lz, fx, fy, fz, scale, 0].
       F: features per point; W must be 32*F (brick_size 2).
       with_jac: also return the 3-axis spatial jacobian.
+      jac_lo/jac_hi: jacobian feature window (the fused density|rgb
+        table only differentiates its density features).
 
-    Returns (feats (F, R, K), jac (3F, R, K) or None), feature-major.
+    Returns (feats (F, R, K), jac (3*Fj, R, K) or None, Fj =
+    jac_hi - jac_lo), feature-major.
     """
     R, U, W = g_u.shape
     K = uid.shape[1]
+    Fj = (F if jac_hi is None else jac_hi) - jac_lo
     ks = _pick_kslab(K)
     grid = (R // RAY_TILE, K // ks)
-    sel = _select_matrix(W, F)
+    sel = _sel_pair(W, F, jac_lo, Fj, with_jac)
     out_shape = [jax.ShapeDtypeStruct((F, R, K), jnp.float32)]
     out_specs = [pl.BlockSpec((F, RAY_TILE, ks),
                               lambda i, j: (0, i, j))]
     if with_jac:
-        out_shape.append(jax.ShapeDtypeStruct((3 * F, R, K), jnp.float32))
-        out_specs.append(pl.BlockSpec((3 * F, RAY_TILE, ks),
+        out_shape.append(jax.ShapeDtypeStruct((3 * Fj, R, K),
+                                              jnp.float32))
+        out_specs.append(pl.BlockSpec((3 * Fj, RAY_TILE, ks),
                                       lambda i, j: (0, i, j)))
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, F, U, with_jac),
+        functools.partial(_fwd_kernel, F, Fj, U, with_jac),
         grid=grid,
         in_specs=[
             pl.BlockSpec((RAY_TILE, U, W), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((RAY_TILE, ks), lambda i, j: (i, j)),
             pl.BlockSpec((8, RAY_TILE, ks), lambda i, j: (0, i, j)),
-            pl.BlockSpec((W, F), lambda i, j: (0, 0)),
+            pl.BlockSpec(sel.shape, lambda i, j: (0, 0)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -208,49 +216,72 @@ def fused_ray_reduce(g_u, uid, lf, F, with_jac=True, interpret=False):
     return (outs[0], outs[1]) if with_jac else (outs[0], None)
 
 
-def _frr_fwd(g_u, uid, lf, F, with_jac, interpret):
-    out = fused_ray_reduce(g_u, uid, lf, F, with_jac, interpret)
+def _frr_fwd(g_u, uid, lf, F, with_jac, jac_lo, jac_hi, interpret):
+    out = fused_ray_reduce(g_u, uid, lf, F, with_jac, jac_lo, jac_hi,
+                           interpret)
     # zero-size token carries U and g_u's dtype into the backward
     token = jnp.zeros((0,) + g_u.shape[1:], g_u.dtype)
     return out, (uid, lf, token)
 
 
-def _selT_blockdiag(W, F, groups):
+def _sel_np(W, F, f_lo, Fo):
     # pure-numpy construction (NOT via _select_matrix, whose jnp
-    # constant is a tracer when this runs inside a traced backward)
+    # constant is a tracer when built inside a traced backward)
     import numpy as np
-    big = np.zeros((groups * F, groups * W), np.float32)
-    for g in range(groups):
-        for p in range(_PTS):
-            for f in range(F):
-                big[g * F + f, g * W + p * F + f] = 1.0
+    S = np.zeros((W, Fo), np.float32)
+    for p in range(_PTS):
+        for f in range(Fo):
+            S[p * F + f_lo + f, f] = 1.0
+    return S
+
+
+def _sel_pair(W, F, jac_lo, Fj, with_jac):
+    """(W, F + Fj) stack of the feats select and the jac-window select."""
+    import numpy as np
+    if not with_jac:
+        return jnp.asarray(_sel_np(W, F, 0, F))
+    return jnp.asarray(np.concatenate(
+        [_sel_np(W, F, 0, F), _sel_np(W, F, jac_lo, Fj)], axis=1))
+
+
+def _selT_blockdiag(W, F, jac_lo, Fj, with_jac):
+    import numpy as np
+    if not with_jac:
+        return jnp.asarray(_sel_np(W, F, 0, F).T)
+    rows = F + 3 * Fj
+    big = np.zeros((rows, 4 * W), np.float32)
+    big[0:F, 0:W] = _sel_np(W, F, 0, F).T
+    sjT = _sel_np(W, F, jac_lo, Fj).T
+    for g in range(3):
+        big[F + g * Fj:F + (g + 1) * Fj,
+            (g + 1) * W:(g + 2) * W] = sjT
     return jnp.asarray(big)
 
 
-def _frr_bwd(F, with_jac, interpret, res, cts):
+def _frr_bwd(F, with_jac, jac_lo, jac_hi, interpret, res, cts):
     import numpy as np
     uid, lf, token = res
     U, W = token.shape[1], token.shape[2]
+    Fj = (F if jac_hi is None else jac_hi) - jac_lo
     df, dj = cts
     R, K = uid.shape
     ks = _pick_kslab(K)
     single_slab = (K // ks) == 1
     out_dt = token.dtype if single_slab else jnp.float32
-    groups = 4 if with_jac else 1
-    selT = _selT_blockdiag(W, F, groups)
+    selT = _selT_blockdiag(W, F, jac_lo, Fj, with_jac)
     in_specs = [
-        pl.BlockSpec((groups * F, groups * W), lambda i, j: (0, 0)),
+        pl.BlockSpec(selT.shape, lambda i, j: (0, 0)),
         pl.BlockSpec((RAY_TILE, ks), lambda i, j: (i, j)),
         pl.BlockSpec((8, RAY_TILE, ks), lambda i, j: (0, i, j)),
         pl.BlockSpec((F, RAY_TILE, ks), lambda i, j: (0, i, j)),
     ]
     args = [selT, uid, lf, df.astype(jnp.float32)]
     if with_jac:
-        in_specs.append(pl.BlockSpec((3 * F, RAY_TILE, ks),
+        in_specs.append(pl.BlockSpec((3 * Fj, RAY_TILE, ks),
                                      lambda i, j: (0, i, j)))
         args.append(dj.astype(jnp.float32))
     dG = pl.pallas_call(
-        functools.partial(_bwd_kernel, F, U, with_jac, token.dtype),
+        functools.partial(_bwd_kernel, F, Fj, U, with_jac, token.dtype),
         grid=(R // RAY_TILE, K // ks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((RAY_TILE, U, W), lambda i, j: (i, 0, 0)),

@@ -195,9 +195,13 @@ def _try_fused(cfg, table, storage, xT, valid, caps, jac_lo, jac_hi,
     U_tot = int(np.sum(caps))
     # storage-dtype rows feed the kernel directly: bf16 halves the
     # block's HBM round trip and the in-kernel expansion matmul runs
-    # at full MXU rate (exact — the rows are bf16 data)
+    # at full MXU rate (exact — the rows are bf16 data). The env gate
+    # forces f32 rows (f32 matmuls + f32 table cotangents) for
+    # precision A/B runs.
+    import os
+    keep = os.environ.get("INGP_GATHER_KEEP_DTYPE", "1") == "1"
     g_u = table_gather(table, urows.reshape(-1), axis=0, storage=storage,
-                       keep_storage_dtype=True).reshape(R, U_tot, -1)
+                       keep_storage_dtype=keep).reshape(R, U_tot, -1)
 
     # lf planes (8, R, K), k = l*S + s
     def to_rk(a):                               # (3, L, N) -> (3, R, K)
@@ -209,14 +213,16 @@ def _try_fused(cfg, table, storage, xT, valid, caps, jac_lo, jac_hi,
         jnp.broadcast_to(sc, (1, R, K)),
         jnp.zeros((1, R, K), jnp.float32)], axis=0)
 
-    feats_cm, jac_cm = fused_ray_reduce(g_u, uid, lf, F, with_jac)
+    feats_cm, jac_cm = fused_ray_reduce(g_u, uid, lf, F, with_jac,
+                                        jac_lo, jac_hi)
     feats = jnp.transpose(feats_cm.reshape(F, R, L, S), (1, 3, 2, 0)
                           ).reshape(N, L * F)
     feats = checkpoint_name(feats, "brick_feats")
     if not with_jac:
         return feats, None
-    jac = jnp.transpose(jac_cm.reshape(3, F, R, L, S), (0, 2, 4, 3, 1)
-                        ).reshape(3, N, L * F)
+    Fj = (F if jac_hi is None else jac_hi) - jac_lo
+    jac = jnp.transpose(jac_cm.reshape(3, Fj, R, L, S), (0, 2, 4, 3, 1)
+                        ).reshape(3, N, L * Fj)
     return feats, checkpoint_name(jac, "brick_jac")
 
 

@@ -61,7 +61,7 @@ def to_sample_major(feats_cm, jac_cm):
 def test_forward_matches_xla():
     table, g_u, uid, lf, local, frac, U = setup(jax.random.PRNGKey(0))
     f_ref, j_ref = xla_reference(g_u, uid, local, frac, U)
-    f_cm, j_cm = fused_ray_reduce(g_u, uid, lf, F, True, True)
+    f_cm, j_cm = fused_ray_reduce(g_u, uid, lf, F, True, 0, None, True)
     f, j = to_sample_major(f_cm, j_cm)
     np.testing.assert_allclose(f, f_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(j, j_ref, rtol=1e-5, atol=1e-5)
@@ -70,7 +70,7 @@ def test_forward_matches_xla():
 def test_feats_only_variant():
     table, g_u, uid, lf, local, frac, U = setup(jax.random.PRNGKey(1))
     f_ref, _ = xla_reference(g_u, uid, local, frac, U)
-    f_cm, none = fused_ray_reduce(g_u, uid, lf, F, False, True)
+    f_cm, none = fused_ray_reduce(g_u, uid, lf, F, False, 0, None, True)
     assert none is None
     feats = jnp.transpose(f_cm.reshape(F, R, L, S), (1, 3, 2, 0)
                           ).reshape(R * S, L * F)
@@ -87,7 +87,7 @@ def test_backward_matches_xla():
         return jnp.sum(f * wf) + jnp.sum(j * wj)
 
     def loss_pl(g_u):
-        f_cm, j_cm = fused_ray_reduce(g_u, uid, lf, F, True, True)
+        f_cm, j_cm = fused_ray_reduce(g_u, uid, lf, F, True, 0, None, True)
         f, j = to_sample_major(f_cm, j_cm)
         return jnp.sum(f * wf) + jnp.sum(j * wj)
 
@@ -103,8 +103,8 @@ def test_bf16_rows_match_f32_forward():
     table, g_u, uid, lf, local, frac, U = setup(jax.random.PRNGKey(5))
     g_bf = g_u.astype(jnp.bfloat16)
     f32_cm, j32_cm = fused_ray_reduce(g_bf.astype(jnp.float32), uid, lf,
-                                      F, True, True)
-    fbf_cm, jbf_cm = fused_ray_reduce(g_bf, uid, lf, F, True, True)
+                                      F, True, 0, None, True)
+    fbf_cm, jbf_cm = fused_ray_reduce(g_bf, uid, lf, F, True, 0, None, True)
     np.testing.assert_array_equal(np.asarray(fbf_cm), np.asarray(f32_cm))
     np.testing.assert_array_equal(np.asarray(jbf_cm), np.asarray(j32_cm))
 
@@ -119,7 +119,7 @@ def test_bf16_rows_backward_close():
     wj = jax.random.normal(jax.random.PRNGKey(8), (3, R * S, L * F))
 
     def loss(g):
-        f_cm, j_cm = fused_ray_reduce(g, uid, lf, F, True, True)
+        f_cm, j_cm = fused_ray_reduce(g, uid, lf, F, True, 0, None, True)
         f, j = to_sample_major(f_cm, j_cm)
         return jnp.sum(f * wf) + jnp.sum(j * wj)
 
@@ -131,3 +131,48 @@ def test_bf16_rows_backward_close():
     # cancel to near zero)
     err = np.abs(np.asarray(dbf, np.float32) - d32)
     assert np.max(err) <= 2e-2 * np.max(np.abs(d32))
+
+
+def test_partial_jac_window():
+    """jac_lo/jac_hi restricts the jacobian to a feature window (the
+    fused density|rgb table differentiates only its density features)."""
+    table, g_u, uid, lf, local, frac, U = setup(jax.random.PRNGKey(9))
+    lo, hi = 2, 6
+    f_ref, j_ref = reduce_feats_jac(
+        CFG, _expand_full(g_u, uid, U), local, frac, R * S,
+        jac_lo=lo, jac_hi=hi)
+    f_cm, j_cm = fused_ray_reduce(g_u, uid, lf, F, True, lo, hi, True)
+    Fj = hi - lo
+    f = jnp.transpose(f_cm.reshape(F, R, L, S), (1, 3, 2, 0)
+                      ).reshape(R * S, L * F)
+    j = jnp.transpose(j_cm.reshape(3, Fj, R, L, S), (0, 2, 4, 3, 1)
+                      ).reshape(3, R * S, L * Fj)
+    np.testing.assert_allclose(f, f_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(j, j_ref, rtol=1e-5, atol=1e-5)
+
+    wf = jax.random.normal(jax.random.PRNGKey(10), (R * S, L * F))
+    wj = jax.random.normal(jax.random.PRNGKey(11), (3, R * S, L * Fj))
+
+    def loss_ref(g):
+        fr, jr = reduce_feats_jac(CFG, _expand_full(g, uid, U), local,
+                                  frac, R * S, jac_lo=lo, jac_hi=hi)
+        return jnp.sum(fr * wf) + jnp.sum(jr * wj)
+
+    def loss_pl(g):
+        fc, jc = fused_ray_reduce(g, uid, lf, F, True, lo, hi, True)
+        fs = jnp.transpose(fc.reshape(F, R, L, S), (1, 3, 2, 0)
+                           ).reshape(R * S, L * F)
+        js = jnp.transpose(jc.reshape(3, Fj, R, L, S), (0, 2, 4, 3, 1)
+                           ).reshape(3, R * S, L * Fj)
+        return jnp.sum(fs * wf) + jnp.sum(js * wj)
+
+    g_ref = jax.grad(loss_ref)(g_u)
+    g_pl = jax.grad(loss_pl)(g_u)
+    np.testing.assert_allclose(g_pl, g_ref, rtol=1e-4, atol=1e-4)
+
+
+def _expand_full(g_u, uid, U):
+    g = _expand_unique(g_u, uid, U, jnp.float32)
+    W = g.shape[-1]
+    return jnp.transpose(g.reshape(R, L, S, W), (1, 0, 2, 3)
+                         ).reshape(L * R * S, W)
