@@ -50,7 +50,7 @@ def main():
         encode_remat=os.environ.get("BENCH_REMAT", "1") == "1",
         encode_chunk=int(os.environ.get("BENCH_CHUNK", "98304")),
         ray_dedup=os.environ.get("BENCH_DEDUP", "1") == "1",
-        dedup_slack=float(os.environ.get("BENCH_DEDUP_SLACK", "1.0")),
+        dedup_slack=float(os.environ.get("BENCH_DEDUP_SLACK", "1.5")),
     )
     tr = SyntheticDataset(split="train", img_size=256, n_train=16)
     te = SyntheticDataset(split="test", img_size=256, n_test=1)

@@ -29,7 +29,8 @@ def main():
     ap.add_argument("--img_size", type=int, default=256)
     ap.add_argument("--n_train", type=int, default=100)
     ap.add_argument("--ray_dedup", action="store_true", default=False)
-    ap.add_argument("--dedup_slack", type=float, default=1.0)
+    ap.add_argument("--dedup_slack", type=float, default=1.5)
+    ap.add_argument("--sparsity", type=float, default=1e-3)
     args = ap.parse_args()
 
     from ingp_tpu.training.trainer import NeRFSystem
@@ -48,7 +49,7 @@ def main():
         capacity=args.capacity, march_iters=1024,
         samples_per_ray=args.spr, encoder="brick",
         table_dtype="bfloat16", encode_chunk=args.chunk,
-        sparsity_loss=1e-3, ray_dedup=args.ray_dedup,
+        sparsity_loss=args.sparsity, ray_dedup=args.ray_dedup,
         dedup_slack=args.dedup_slack)
     tr = SyntheticDataset(split="train", img_size=args.img_size,
                           n_train=args.n_train)

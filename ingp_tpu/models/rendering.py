@@ -60,7 +60,7 @@ class RenderConfig:
     # encoder; capacity doubles as the per-ray sample budget
     # (samples_per_ray is ignored on this path).
     ray_dedup: bool = False
-    dedup_slack: float = 1.0     # cap headroom for non-contiguous runs
+    dedup_slack: float = 1.5     # z-term headroom for gapped runs (run_caps)
 
     def march_cfg(self, model: NGPConfig) -> MarchConfig:
         return MarchConfig(

@@ -164,10 +164,13 @@ def sample_positions(rays_o, rays_d, ts, valid):
 
 def _lattice_t(t1, k, exp_step_factor: float, max_samples: int,
                grid_size: int, scale: float):
-    """t value of lattice step k (k: (M,) int; t1: (R,) start)."""
+    """t value of lattice step k (k: (M,) int or per-ray (R, S) int;
+    t1: (R,) start)."""
     lo = SQRT3 / max_samples
     hi = SQRT3 * 2 * scale / grid_size
-    kf = k.astype(jnp.float32)[None, :]           # (1, M)
+    kf = k.astype(jnp.float32)
+    if kf.ndim == 1:
+        kf = kf[None, :]                          # (1, M)
     t1 = t1[:, None]                              # (R, 1)
     f = exp_step_factor
     if f == 0.0 or lo >= hi:
@@ -184,8 +187,8 @@ def _lattice_t(t1, k, exp_step_factor: float, max_samples: int,
 
 
 def _lattice_geometry(cfg: MarchConfig, rays_o, rays_d, hits_t, noise):
-    """Shared lattice setup: (ts_m, dt_m, in_range, mip, [nx, ny, nz])
-    with every plane shaped (R, M)."""
+    """Shared lattice setup: (t_start, ts_m, dt_m, in_range, mip,
+    [nx, ny, nz]) with every plane shaped (R, M)."""
     M = cfg.iters
     t1, t2 = hits_t[:, 0], hits_t[:, 1]
 
@@ -218,24 +221,32 @@ def _lattice_geometry(cfg: MarchConfig, rays_o, rays_d, hits_t, noise):
     gs = cfg.grid_size
     ns = [jnp.clip(0.5 * (x_d / bound + 1.0) * gs, 0.0, gs - 1.0
                    ).astype(jnp.int32) for x_d in xs]
-    return ts_m, dt_m, in_range, mip, ns
+    return t_start, ts_m, dt_m, in_range, mip, ns
 
 
-def _pack_march(cfg: MarchConfig, occ, ts_m, dt_m):
+def _pack_march(cfg: MarchConfig, occ, t_start):
     """(R, M) occupancy -> fixed (R, S) sample segments (shared tail of
-    both marchers)."""
+    both marchers). Sorts ONLY the occupancy-tagged lattice index (one
+    i32 operand instead of dragging the (R, M) f32 ts/dt planes through
+    the sort): the packed index recomputes ts/deltas in closed form on
+    the (R, S) output shape — bit-identical, _lattice_t is how ts_m was
+    built in the first place."""
     R, M = occ.shape
     S = cfg.capacity
     k = jnp.arange(M, dtype=jnp.int32)[None, :]
     keys = jnp.where(occ, k, M + k)
-    _, ts_sorted, dt_sorted = jax.lax.sort(
-        (jnp.broadcast_to(keys, occ.shape), ts_m, dt_m),
-        dimension=1, num_keys=1)
-
+    keys_sorted = jax.lax.sort(jnp.broadcast_to(keys, occ.shape),
+                               dimension=1)
+    ks = keys_sorted[:, :S]
     n_samples = jnp.minimum(jnp.sum(occ, axis=1), S)
     valid = jnp.arange(S, dtype=jnp.int32)[None, :] < n_samples[:, None]
-    ts = jnp.where(valid, ts_sorted[:, :S], 0.0)
-    deltas = jnp.where(valid, dt_sorted[:, :S], 0.0)
+    kk = jnp.where(valid, ks, 0)
+    ts_s = _lattice_t(t_start, kk, cfg.exp_step_factor, cfg.max_samples,
+                      cfg.grid_size, cfg.scale)
+    dt_s = calc_dt(ts_s, cfg.exp_step_factor, cfg.max_samples,
+                   cfg.grid_size, cfg.scale)
+    ts = jnp.where(valid, ts_s, 0.0)
+    deltas = jnp.where(valid, dt_s, 0.0)
     return {
         "ts": ts,
         "deltas": deltas,
@@ -254,12 +265,12 @@ def march_rays_lattice(cfg: MarchConfig, bitfield, rays_o, rays_d, hits_t,
     possible march (max_samples covers any AABB at dt_min; exp-stepped
     real scenes need far fewer).
     """
-    ts_m, dt_m, in_range, mip, ns = _lattice_geometry(
+    t_start, ts_m, dt_m, in_range, mip, ns = _lattice_geometry(
         cfg, rays_o, rays_d, hits_t, noise)
     gs = cfg.grid_size
     idx = ((mip * gs + ns[2]) * gs + ns[1]) * gs + ns[0]
     occ = bitfield_lookup(bitfield, idx) & in_range              # (R, M)
-    return _pack_march(cfg, occ, ts_m, dt_m)
+    return _pack_march(cfg, occ, t_start)
 
 
 # ---------------------------------------------------------------------------
@@ -332,7 +343,7 @@ def march_rays_block(cfg: MarchConfig, block_table, rays_o, rays_d,
     nrun = M // Q
     assert M % Q == 0, "march_iters must be a multiple of the run length"
 
-    ts_m, dt_m, in_range, mip, ns = _lattice_geometry(
+    t_start, ts_m, dt_m, in_range, mip, ns = _lattice_geometry(
         cfg, rays_o, rays_d, hits_t, noise)
 
     runs = [n.reshape(R, nrun, Q) for n in ns]
@@ -375,4 +386,4 @@ def march_rays_block(cfg: MarchConfig, block_table, rays_o, rays_d,
         axis=-1, dtype=jnp.uint32)                    # (R, nrun, Q)
     bit_occ = ((wordval >> bit.astype(jnp.uint32)) & 1) > 0
     occ = (jnp.where(in_win, bit_occ, True).reshape(R, M)) & in_range
-    return _pack_march(cfg, occ, ts_m, dt_m)
+    return _pack_march(cfg, occ, t_start)

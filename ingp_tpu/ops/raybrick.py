@@ -66,22 +66,28 @@ _SAVE_PLAN = jax.checkpoint_policies.save_only_these_names(
 
 
 def run_caps(cfg: BrickGridConfig, spr: int, max_samples: int = 1024,
-             slack: float = 1.0) -> tuple:
+             slack: float = 1.0, gap_pad: float = 3.0) -> tuple:
     """Static per-level unique-run capacities U_l.
 
-    Calibrated against measured run-count distributions of contiguous
-    dt-lattice sample sets (probe_components.py): at dt = sqrt3 /
-    max_samples and z = scale_l * spr * dt / B (brick crossings of a
-    straight run), U = ceil(2.5 + 0.7 * z) tracks the p99. `slack`
-    scales the data-dependent term for marches with occupancy gaps
-    (which stretch the spanned distance beyond spr * dt).
+    z = scale_l * spr * dt / B (dt = sqrt3 / max_samples) is the brick
+    crossings of a CONTIGUOUS spr-sample run; U = ceil(2.5 + 0.7 z)
+    tracks its p99 (probe_components.py). Real marches have occupancy
+    GAPS that both stretch the spanned distance (scaling the z term —
+    `slack`) and add span-proportional extra runs even at coarse levels
+    where z ~ 0 (the additive `gap_pad`). Calibrated on marched rays of
+    a mid-carve synthetic scene (PERF_NOTES.md): p99 run counts track
+    ceil(2.5 + gap_pad + 1.05 z) across all 16 levels at the defaults
+    (gap_pad 3, slack 1.5); the original contiguous formula overflowed
+    5-13% of rays per level there, each overflow sample silently
+    reusing a neighboring run's brick.
     """
     dt = SQRT3 / max_samples
     B = cfg.brick_size
     caps = []
     for sc in cfg.scales:
         z = sc * spr * dt / B
-        caps.append(int(min(spr, np.ceil(2.5 + 0.7 * slack * z))))
+        caps.append(int(min(spr,
+                            np.ceil(2.5 + gap_pad + 0.7 * slack * z))))
     return tuple(caps)
 
 

@@ -117,7 +117,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "one table row per brick run along each "
                              "ray; requires brick/fused encoder, "
                              "constant-dt scenes")
-    parser.add_argument("--dedup_slack", type=float, default=1.0,
+    parser.add_argument("--dedup_slack", type=float, default=1.5,
                         help="run-cap headroom factor for ray_dedup")
     parser.add_argument("--sparsity_loss", type=float, default=0.0,
                         help="global mean-sigma sparsity prior weight "

@@ -85,7 +85,7 @@ def render_config_from_hparams(h, test=False) -> RenderConfig:
         stop_header_grads=test,
         pallas_composite=getattr(h, "pallas_composite", False),
         ray_dedup=ray_dedup,
-        dedup_slack=getattr(h, "dedup_slack", 1.0),
+        dedup_slack=getattr(h, "dedup_slack", 1.5),
     )
 
 
