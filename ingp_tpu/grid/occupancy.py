@@ -180,7 +180,13 @@ def update_density_grid(density_fn, params, grid, key, density_threshold,
                                     maxval=1.0) * half
         sigmas = _eval_density_chunked(density_fn, params,
                                        xyzs_w + jitter)
-        tmp = tmp.at[c].max(jnp.zeros((g3,)).at[idx].max(sigmas))
+        if warmup:
+            # idx is the identity sweep: the scatter-max degenerates to
+            # an elementwise max (the 2M-index scatter alone cost ~4 min
+            # of XLA compile time)
+            tmp = tmp.at[c].set(jnp.maximum(tmp[c], sigmas))
+        else:
+            tmp = tmp.at[c].max(jnp.zeros((g3,)).at[idx].max(sigmas))
 
     if erode:
         # decay more the cells seen by few cameras (networks.py:397-399)

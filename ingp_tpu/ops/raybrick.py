@@ -81,6 +81,11 @@ def run_caps(cfg: BrickGridConfig, spr: int, max_samples: int = 1024,
     5-13% of rays per level there, each overflow sample silently
     reusing a neighboring run's brick.
     """
+    import os
+    if os.environ.get("INGP_DEDUP_FULLCAPS", "0") == "1":
+        # diagnostic: one slot per sample at every level — dedup still
+        # merges runs but can never overflow (exactness control)
+        return tuple(spr for _ in cfg.scales)
     dt = SQRT3 / max_samples
     B = cfg.brick_size
     caps = []

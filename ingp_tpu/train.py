@@ -25,11 +25,21 @@ def main(argv=None):
         jax.config.update("jax_debug_nans", True)
     np.random.seed(hparams.seed)
 
+    # multi-host first (before any backend init), then the device mesh
+    # (train.py:430-432 DDPPlugin equivalent)
+    distributed = False
+    if hparams.distributed or hparams.coordinator_address:
+        from .parallel.distributed import init_distributed
+        distributed = init_distributed(hparams.coordinator_address,
+                                       hparams.num_processes,
+                                       hparams.process_id)
+
     mesh = None
-    if hparams.num_gpus > 1:
-        import jax
+    if distributed or hparams.num_gpus > 1:
         from .parallel.mesh import make_mesh
-        mesh = make_mesh(hparams.num_gpus)
+        # distributed: the mesh spans every global device (each host
+        # feeds its local slice); single-host: the first num_gpus chips
+        mesh = make_mesh(None if distributed else hparams.num_gpus)
 
     system = NeRFSystem(hparams, mesh=mesh)
     ckpt_dir = os.path.join("ckpts", hparams.dataset_name,

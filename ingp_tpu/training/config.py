@@ -126,6 +126,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--debug_nans", action="store_true", default=False,
                         help="enable jax debug_nans (replaces the "
                              "reference's check_tensor sentinels)")
+    # multi-host (replaces PL's DDP rank plumbing, train.py:430-432).
+    # On TPU pods all three are auto-detected; pass them explicitly for
+    # manual CPU/GPU process groups.
+    parser.add_argument("--distributed", action="store_true", default=False,
+                        help="initialize jax.distributed (multi-host); "
+                             "the data mesh then spans all global devices")
+    parser.add_argument("--coordinator_address", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     return parser
 
 

@@ -110,6 +110,8 @@ class NeRFSystem:
 
     def __init__(self, hparams, train_dataset=None, test_dataset=None,
                  mesh=None):
+        from ..utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
         self.hparams = hparams
         self.model_cfg = model_config_from_hparams(hparams)
         self.render_cfg = render_config_from_hparams(hparams)
@@ -323,11 +325,21 @@ class NeRFSystem:
                 self.global_step < self.WARMUP_STEPS)
 
     def training_step(self, batch, rng_key=None):
-        """One optimization step on a host batch dict (train.py:268-345)."""
+        """One optimization step on a host batch dict (train.py:268-345).
+
+        Multi-process: `batch` is this host's LOCAL slice; the global
+        batch (process_count * local size) is assembled on the mesh via
+        make_array_from_process_local_data — the reference's DDP
+        semantics (each rank contributes its own ray batch)."""
         self.maybe_update_grid()
-        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
-                     if k in ("img_idxs", "pix_idxs", "uv", "rgb", "label",
-                              "depth", "normal", "exposure")}
+        host_batch = {k: v for k, v in batch.items()
+                      if k in ("img_idxs", "pix_idxs", "uv", "rgb", "label",
+                               "depth", "normal", "exposure")}
+        if self.mesh is not None and jax.process_count() > 1:
+            from ..parallel.distributed import host_local_batch
+            dev_batch = host_local_batch(self.mesh, host_batch)
+        else:
+            dev_batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
         key = rng_key if rng_key is not None \
             else jax.random.PRNGKey(self.global_step + 1)
         self.params, self.opt_state, aux = self.train_step(
@@ -386,19 +398,36 @@ class NeRFSystem:
 
     def validate(self, max_images=None):
         """PSNR/SSIM over the test split (validation_step,
-        train.py:353-392)."""
+        train.py:353-392).
+
+        Multi-process: test images are round-robined over hosts and the
+        per-image metrics all-gathered (all_gather_ddp_if_available,
+        train.py:379-391)."""
         w, h = self.test_dataset.img_wh
         psnrs, ssims = [], []
         n = len(self.test_dataset.poses)
         if max_images:
             n = min(n, max_images)
+        pc, pid = jax.process_count(), jax.process_index()
         for i in range(n):
+            if i % pc != pid:
+                continue
             item = self.test_dataset.test_item(i)
             res = self.render_image(item["pose"])
             pred = jnp.clip(res["rgb"], 0, 1).reshape(h, w, 3)
             gt = jnp.asarray(item["rgb"]).reshape(h, w, 3)
             psnrs.append(float(psnr(pred, gt)))
             ssims.append(float(ssim(pred, gt)))
+        if pc > 1:
+            from ..parallel.distributed import all_gather_metrics
+            # hosts may own uneven image counts: NaN-pad to a common
+            # length, gather, then drop the padding
+            cap = -(-n // pc)
+            pad = [float("nan")] * (cap - len(psnrs))
+            psnrs = [v for v in all_gather_metrics(psnrs + pad)
+                     if np.isfinite(v)]
+            ssims = [v for v in all_gather_metrics(ssims + pad)
+                     if np.isfinite(v)]
         return {"psnr": float(np.mean(psnrs)),
                 "ssim": float(np.mean(ssims))}
 
@@ -412,7 +441,12 @@ class NeRFSystem:
         falling back to the NumPy sampler.
         """
         h = self.hparams
-        rng = rng or np.random.default_rng(h.seed)
+        # each host samples an independent ray stream (DDP semantics:
+        # per-rank batches); rank 0 keeps the bare seed
+        rng = rng or np.random.default_rng([h.seed, jax.process_index()]
+                                           if jax.process_count() > 1
+                                           else h.seed)
+        main = jax.process_index() == 0
         total_steps = (h.num_epochs + h.normal_epochs) * h.steps_per_epoch
 
         native = None
@@ -429,7 +463,7 @@ class NeRFSystem:
                 print(f"native loader unavailable ({e}); numpy sampler")
 
         metrics_log = None
-        if ckpt_dir:
+        if ckpt_dir and main:
             os.makedirs(ckpt_dir, exist_ok=True)
             metrics_log = open(os.path.join(ckpt_dir, "metrics.jsonl"),
                                "a")
@@ -448,7 +482,7 @@ class NeRFSystem:
             rays_done += h.batch_size
             if on_step is not None:
                 on_step(step, aux)
-            if log_every and (step % log_every == 0):
+            if log_every and (step % log_every == 0) and main:
                 dt = time.time() - t0
                 rays_s = rays_done / max(dt, 1e-9)
                 print(f"step {step:6d} loss {float(aux['loss']):.5f} "
@@ -465,13 +499,13 @@ class NeRFSystem:
                         "lr": float(self.lr_schedule(step)),
                     }) + "\n")
                     metrics_log.flush()
-            if ckpt_dir and step > 0 and step % 10000 == 0:
+            if ckpt_dir and main and step > 0 and step % 10000 == 0:
                 self._dump_val_images(ckpt_dir, step)
-            if ckpt_dir and (step + 1) % h.steps_per_epoch == 0:
+            if ckpt_dir and main and (step + 1) % h.steps_per_epoch == 0:
                 self.save(os.path.join(ckpt_dir, "last"))
         if native is not None:
             native.close()
-        if ckpt_dir:
+        if ckpt_dir and main:
             self.save(os.path.join(ckpt_dir, "last"))
             save_ckpt(os.path.join(ckpt_dir, "last_slim"),
                       slim_state(self.state()))
