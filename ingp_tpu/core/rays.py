@@ -133,26 +133,33 @@ def center_poses(poses, pts3d=None):
 
 
 def create_spheric_poses(radius, mean_h, n_poses=120):
-    """Circular test trajectory (ray_utils.py:184-219)."""
-    def spheric_pose(theta, phi, radius):
-        trans_t = lambda t: np.array([[1, 0, 0, 0],
-                                      [0, 1, 0, 2 * mean_h],
-                                      [0, 0, 1, -t]], dtype=np.float64)
-        rot_phi = lambda p: np.array([[1, 0, 0],
-                                      [0, np.cos(p), -np.sin(p)],
-                                      [0, np.sin(p), np.cos(p)]])
-        rot_theta = lambda th: np.array([[np.cos(th), 0, -np.sin(th)],
-                                         [0, 1, 0],
-                                         [np.sin(th), 0, np.cos(th)]])
-        c2w = rot_theta(theta) @ rot_phi(phi) @ trans_t(radius)
-        c2w = np.array([[-1, 0, 0], [0, 0, 1], [0, 1, 0]], dtype=np.float64) @ c2w
-        return c2w
+    """Circular test trajectory around the y axis at fixed elevation.
 
-    return np.stack([spheric_pose(th, -np.pi / 12, radius)
-                     for th in np.linspace(0, 2 * np.pi, n_poses + 1)[:-1]], 0)
+    Reproduces the trajectory of the reference's create_spheric_poses
+    (datasets/ray_utils.py:184-219, itself derived from the original
+    NeRF LLFF tooling, MIT): cameras on a circle of `radius` at
+    elevation -pi/12, axis-remapped into the dataset convention.
+    Vectorized over all angles instead of a per-pose matrix chain."""
+    phi = -np.pi / 12
+    th = np.linspace(0, 2 * np.pi, n_poses + 1)[:-1]
+    ct, st = np.cos(th), np.sin(th)
+    cp, sp = np.cos(phi), np.sin(phi)
+
+    # orientation = A @ R_y(theta) @ R_x(phi), with the convention remap
+    # A = [[-1,0,0],[0,0,1],[0,1,0]] folded in analytically
+    R = np.empty((n_poses, 3, 3))
+    R[:, 0] = np.stack([-ct, st * sp, st * cp], -1)
+    R[:, 1] = np.stack([np.broadcast_to(st, ct.shape), ct * sp,
+                        ct * cp], -1)
+    R[:, 2] = np.stack([np.zeros_like(ct), np.full_like(ct, cp),
+                        np.full_like(ct, -sp)], -1)
+    # camera center = orientation @ [0, 2*mean_h, -radius]
+    t = R @ np.array([0.0, 2 * mean_h, -radius])
+    return np.concatenate([R, t[:, :, None]], axis=-1)
 
 
 def viewmatrix(lookdir, up, position):
+    """Camera-to-world from forward/up hints (y-up, -z-forward)."""
     vec2 = normalize(lookdir)
     vec0 = normalize(np.cross(up, vec2))
     vec1 = normalize(np.cross(vec2, vec0))
@@ -161,28 +168,34 @@ def viewmatrix(lookdir, up, position):
 
 def generate_interpolated_path(poses, n_interp, spline_degree=5,
                                smoothness=0.03, rot_weight=0.1):
-    """B-spline camera path through keyframes (ray_utils.py:230-277)."""
+    """Smooth B-spline camera path through keyframe poses.
+
+    Algorithm from google-research/multinerf (camera_utils
+    .generate_interpolated_path, Apache-2.0), which the reference
+    vendors at datasets/ray_utils.py:230-277: each pose becomes a
+    (position, lookat-offset, up-offset) point triple, the triples are
+    spline-fitted jointly, and sampled triples are turned back into
+    orthonormal poses. Reimplemented vectorized (no per-pose loop)."""
     import scipy.interpolate
 
-    def poses_to_points(poses, dist):
-        pos = poses[:, :3, -1]
-        lookat = poses[:, :3, -1] - dist * poses[:, :3, 2]
-        up = poses[:, :3, -1] + dist * poses[:, :3, 1]
-        return np.stack([pos, lookat, up], 1)
+    pos = poses[:, :3, -1]
+    triples = np.stack([pos,
+                        pos - rot_weight * poses[:, :3, 2],
+                        pos + rot_weight * poses[:, :3, 1]], 1)
 
-    def points_to_poses(points):
-        return np.array([viewmatrix(p - l, u - p, p) for p, l, u in points])
+    n = n_interp * (triples.shape[0] - 1)
+    flat = triples.reshape(triples.shape[0], -1)
+    k = min(spline_degree, flat.shape[0] - 1)
+    tck, _ = scipy.interpolate.splprep(flat.T, k=k, s=smoothness)
+    u = np.linspace(0, 1, n, endpoint=False)
+    samples = np.asarray(scipy.interpolate.splev(u, tck)) \
+        .T.reshape(n, 3, 3)
 
-    def interp(points, n, k, s):
-        sh = points.shape
-        pts = np.reshape(points, (sh[0], -1))
-        k = min(k, sh[0] - 1)
-        tck, _ = scipy.interpolate.splprep(pts.T, k=k, s=s)
-        u = np.linspace(0, 1, n, endpoint=False)
-        new_points = np.array(scipy.interpolate.splev(u, tck))
-        return np.reshape(new_points.T, (n, sh[1], sh[2]))
-
-    points = poses_to_points(poses, dist=rot_weight)
-    new_points = interp(points, n_interp * (points.shape[0] - 1),
-                        k=spline_degree, s=smoothness)
-    return points_to_poses(new_points)
+    p, lookat, up = samples[:, 0], samples[:, 1], samples[:, 2]
+    fwd = p - lookat
+    vec2 = fwd / np.linalg.norm(fwd, axis=-1, keepdims=True)
+    vec0 = np.cross(up - p, vec2)
+    vec0 /= np.linalg.norm(vec0, axis=-1, keepdims=True)
+    vec1 = np.cross(vec2, vec0)
+    vec1 /= np.linalg.norm(vec1, axis=-1, keepdims=True)
+    return np.stack([vec0, vec1, vec2, p], axis=-1)

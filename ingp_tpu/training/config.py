@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--random_bg", action="store_true", default=False)
     # validation (opt.py:87-97)
     parser.add_argument("--eval_lpips", action="store_true", default=False)
+    parser.add_argument("--lpips_weights", type=str, default=None,
+                        help="exported LPIPS .npz "
+                             "(python -m ingp_tpu.utils.export_lpips); "
+                             "required with --eval_lpips")
     parser.add_argument("--val_only", action="store_true", default=False)
     parser.add_argument("--no_save_test", action="store_true", default=False)
     parser.add_argument("--render_traj", action="store_true", default=False)
@@ -168,4 +172,14 @@ def get_opts(argv=None):
         merged = cfg_tokens + (argv if argv is not None else
                                __import__("sys").argv[1:])
         args = parser.parse_args(merged)
+    if args.eval_lpips:
+        # fail LOUDLY at parse time rather than silently skipping the
+        # metric at eval time (train.py:94-97 downloads weights; we
+        # cannot)
+        import os
+        if not args.lpips_weights or not os.path.exists(args.lpips_weights):
+            parser.error(
+                "--eval_lpips needs --lpips_weights pointing at an "
+                "exported .npz (create one on an online machine with "
+                "`python -m ingp_tpu.utils.export_lpips lpips_alex.npz`)")
     return args

@@ -56,10 +56,20 @@ def ssim(img0, img1, data_range=1.0, kernel_size=11, sigma=1.5,
     return jnp.mean(num / den)
 
 
-def lpips(img0, img1, net="vgg"):
-    """LPIPS perceptual metric. Requires pretrained weights which are not
-    available in a zero-egress environment; raises with guidance."""
-    raise RuntimeError(
-        "LPIPS requires pretrained VGG weights which cannot be downloaded "
-        "in this environment. Provide weights locally and extend "
-        "ingp_tpu/training/metrics.py, or skip --eval_lpips.")
+def lpips(img0, img1, weights_path=None, params=None):
+    """LPIPS perceptual metric (AlexNet variant, training/lpips.py).
+
+    Needs exported weights (`python -m ingp_tpu.utils.export_lpips` on
+    an online machine) — raises with guidance when absent; the CLI
+    rejects --eval_lpips without --lpips_weights at parse time."""
+    from .lpips import load_lpips, lpips as lpips_fn
+    if params is None:
+        if not weights_path:
+            raise RuntimeError(
+                "LPIPS needs pretrained weights which cannot be "
+                "downloaded in a zero-egress environment. Export them "
+                "once with `python -m ingp_tpu.utils.export_lpips "
+                "lpips_alex.npz` on an online machine and pass "
+                "--lpips_weights lpips_alex.npz.")
+        params = load_lpips(weights_path)
+    return lpips_fn(params, jnp.asarray(img0), jnp.asarray(img1))

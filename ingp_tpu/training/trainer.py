@@ -355,10 +355,16 @@ class NeRFSystem:
 
         The chunk is capped so the per-chunk network batch
         (chunk * samples_per_ray) stays within a safe HBM envelope
-        (a 65536-ray chunk at samples_per_ray=48 OOMs a v5e)."""
+        (a 65536-ray chunk at samples_per_ray=48 OOMs a v5e). With a
+        device mesh, rays are sharded over ('data',) — evaluation scales
+        with the chips like training does, and the HBM envelope (and so
+        the chunk cap) scales with the mesh size."""
         chunk = chunk_size or self.hparams.chunk_size
         spr = max(self.render_cfg_test.samples_per_ray, 1)
-        chunk = min(chunk, max(1_500_000 // spr, 4096))
+        n_dev = self.mesh.size if self.mesh is not None else 1
+        chunk = min(chunk, max(n_dev * 1_500_000 // spr, 4096))
+        if n_dev > 1:  # keep ray chunks evenly shardable
+            chunk = max(chunk // n_dev, 1) * n_dev
         pose = jnp.asarray(pose)
         rays_o, rays_d = get_rays(self.directions, pose)
         n = rays_o.shape[0]
@@ -378,6 +384,16 @@ class NeRFSystem:
             emb = emb_full[sl] if self.hparams.embed_a else None
             if emb is not None and pad:
                 emb = jnp.concatenate([emb, emb[-1:].repeat(pad, 0)])
+            if n_dev > 1:
+                # shard the ray chunk over the mesh; GSPMD propagates
+                # the sharding through the jitted renderer (params/grid
+                # stay replicated)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                data_sh = NamedSharding(self.mesh, P("data"))
+                ro, rd = (jax.device_put(ro, data_sh),
+                          jax.device_put(rd, data_sh))
+                if emb is not None:
+                    emb = jax.device_put(emb, data_sh)
             res = render_rays_test(self.model_cfg, self.render_cfg_test,
                                    self.params["model"],
                                    self.grid["bitfield"], ro, rd,
@@ -404,7 +420,11 @@ class NeRFSystem:
         per-image metrics all-gathered (all_gather_ddp_if_available,
         train.py:379-391)."""
         w, h = self.test_dataset.img_wh
-        psnrs, ssims = [], []
+        psnrs, ssims, lpipss = [], [], []
+        lpips_params = None
+        if getattr(self.hparams, "eval_lpips", False):
+            from .lpips import load_lpips
+            lpips_params = load_lpips(self.hparams.lpips_weights)
         n = len(self.test_dataset.poses)
         if max_images:
             n = min(n, max_images)
@@ -418,6 +438,9 @@ class NeRFSystem:
             gt = jnp.asarray(item["rgb"]).reshape(h, w, 3)
             psnrs.append(float(psnr(pred, gt)))
             ssims.append(float(ssim(pred, gt)))
+            if lpips_params is not None:
+                from .lpips import lpips as lpips_fn
+                lpipss.append(float(lpips_fn(lpips_params, pred, gt)))
         if pc > 1:
             from ..parallel.distributed import all_gather_metrics
             # hosts may own uneven image counts: NaN-pad to a common
@@ -428,8 +451,14 @@ class NeRFSystem:
                      if np.isfinite(v)]
             ssims = [v for v in all_gather_metrics(ssims + pad)
                      if np.isfinite(v)]
-        return {"psnr": float(np.mean(psnrs)),
-                "ssim": float(np.mean(ssims))}
+            if lpipss:
+                lpipss = [v for v in all_gather_metrics(lpipss + pad)
+                          if np.isfinite(v)]
+        out = {"psnr": float(np.mean(psnrs)),
+               "ssim": float(np.mean(ssims))}
+        if lpipss:
+            out["lpips"] = float(np.mean(lpipss))
+        return out
 
     # ------------------------------------------------------------------
     def fit(self, log_every=100, ckpt_dir=None, rng=None,

@@ -68,3 +68,43 @@ def test_ray_altitude_clamp():
                     ray_altitude_range=[-50.0, -1.0])
     assert rays.shape == (4, 4, 8)
     assert np.all(rays[..., 7] >= rays[..., 6])
+
+
+def test_memory_dataset_matches_filesystem(tmp_path):
+    """MemoryDataset (in-RAM variant, memory_dataset.py:1-63) stores the
+    exact ray/rgb set the chunked store shuffles to disk."""
+    from ingp_tpu.data.mega.memory_dataset import MemoryDataset
+
+    items = _make_items(tmp_path)
+    mem = MemoryDataset(items, near=0.1, far=10.0,
+                        ray_altitude_range=None, center_pixels=True)
+    assert len(mem) == 4 * 16 * 12
+
+    chunk_dir = tmp_path / "chunks_mem"
+    fs = FilesystemDataset(items, near=0.1, far=10.0,
+                           ray_altitude_range=None, center_pixels=True,
+                           chunk_paths=[chunk_dir], num_chunks=2,
+                           scale_factor=1, disk_flush_size=100)
+    fs_rows = set()
+    for _ in range(2):
+        fs.load_chunk()
+        for i in range(len(fs)):
+            b = fs[i]
+            fs_rows.add((int(b["img_indices"]),)
+                        + tuple(np.round(b["rays"], 5).tolist())
+                        + tuple(np.round(b["rgbs"], 5).tolist()))
+    mem_rows = set()
+    for i in range(len(mem)):
+        b = mem[i]
+        mem_rows.add((int(b["img_indices"]),)
+                     + tuple(np.round(b["rays"], 5).tolist())
+                     + tuple(np.round(b["rgbs"], 5).tolist()))
+    assert mem_rows == fs_rows
+
+    batch = mem.sample_batch(np.random.default_rng(0), 16)
+    assert batch["rgbs"].shape == (16, 3)
+    assert batch["rays"].shape == (16, 8)
+    np.testing.assert_allclose(
+        np.linalg.norm(batch["rays"][:, 3:6], axis=-1), 1.0, rtol=1e-5)
+    # API compatibility with the chunked store
+    mem.load_chunk(); mem.set_state(mem.get_state())

@@ -103,3 +103,41 @@ def test_gradient_psum_equivalence():
                    out_shardings=NamedSharding(mesh, P()))(w, x)
     np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_eval_matches_single_device():
+    # render_image under an 8-device mesh (rays sharded over 'data')
+    # must reproduce the single-device render exactly
+    from types import SimpleNamespace
+    from ingp_tpu.training.trainer import NeRFSystem
+    from ingp_tpu.data.synthetic import SyntheticDataset
+
+    def hp():
+        return SimpleNamespace(
+            dataset_name="synthetic", root_dir="", split="train",
+            downsample=1.0, scale=0.5, use_skybox=False,
+            use_exposure=False, embed_a=False, embed_a_len=4,
+            embed_msk=False, num_classes=4, batch_size=256,
+            ray_sampling_strategy="all_images", num_epochs=1,
+            normal_epochs=0, steps_per_epoch=500, lr=1e-2,
+            density_threshold=1e-2, depth_mono=False, normal_mono=False,
+            normal_ref=False, optimize_ext=False, random_bg=False,
+            render_semantic=False, chunk_size=512, seed=0,
+            ckpt_load=None, compute_dtype="float32", capacity=32,
+            march_iters=128, samples_per_ray=16, grid_size=32,
+            density_L=4, density_F=2, density_log2T=12, rgb_L=4,
+            rgb_F=2, rgb_log2T=12)
+
+    tr = SyntheticDataset(split="train", img_size=32, n_train=4)
+    te = SyntheticDataset(split="test", img_size=32, n_test=1)
+    pose = te.test_item(0)["pose"]
+
+    outs = {}
+    for name, mesh in (("single", None), ("dp8", make_mesh(8))):
+        system = NeRFSystem(hp(), tr, te, mesh=mesh)
+        rng = np.random.default_rng(0)
+        for _ in range(2):  # a couple of steps so the field is nontrivial
+            system.training_step(tr.sample_batch(rng, 256))
+        outs[name] = np.asarray(system.render_image(pose)["rgb"])
+    np.testing.assert_allclose(outs["dp8"], outs["single"],
+                               rtol=1e-4, atol=1e-5)
