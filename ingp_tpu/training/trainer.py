@@ -310,12 +310,13 @@ class NeRFSystem:
         """Neighborhood rows for the block marcher, or None to use the
         per-point lattice marcher. The block marcher is exact for the
         constant-dt lattice (exp_step_factor == 0) and conservative
-        (never drops samples) otherwise; exp-stepped scenes keep the
-        lattice path until the short-run variant is validated on
-        them."""
-        if self.render_cfg.exp_step_factor == 0.0:
-            return self.grid.get("block_table")
-        return None
+        otherwise (short 4-step runs; samples never dropped, validated
+        against the exact-skip oracle at exp_step 1/256 in
+        tests/test_block_march.py). INGP_BLOCK_MARCH=0 forces the
+        per-point lattice path for A/B runs."""
+        if os.environ.get("INGP_BLOCK_MARCH", "1") != "1":
+            return None
+        return self.grid.get("block_table")
 
     def maybe_update_grid(self):
         if self.global_step % self.UPDATE_INTERVAL == 0:

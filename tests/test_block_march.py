@@ -106,3 +106,53 @@ def test_block_table_rebuild_roundtrip():
                 word = row[lz * 8 + (ly >> 1)]
                 bit = (word >> (((ly & 1) << 4) | lx)) & 1
                 assert bool(bit) == bool(occ3[lz, ly, lx]), (lz, ly, lx)
+
+
+def test_block_conservative_vs_exact_oracle_exp():
+    """Block march at exp_step 1/256 (the real-scene op-point) vs the
+    scalar oracle that replicates raymarching.cu:200-279 with the exact
+    per-sub-step dt re-evaluation: every oracle sample must appear in
+    the block march at the same t (extras allowed: out-of-window or
+    mip-transition runs are conservatively kept and the network sees
+    their true density)."""
+    from tests.test_march_composite import (_oracle_march_exact,
+                                            _make_grid)
+
+    cfg = MarchConfig(grid_size=32, cascades=3, scale=2.0,
+                      exp_step_factor=1 / 256, max_samples=512,
+                      capacity=128, iters=512)
+    dense, bf = _make_grid(
+        cfg, lambda x, y, z: ((np.abs(x) < 0.7) & (np.abs(y) < 0.7)
+                              & (np.abs(z) < 0.7))
+        | ((x - 1.2) ** 2 + y ** 2 + z ** 2 < 0.36))
+    tb = build_block_table(bf, 32, 3)
+    rng = np.random.default_rng(7)
+    R = 48
+    o = np.stack([rng.uniform(-0.3, 0.3, R), rng.uniform(-0.3, 0.3, R),
+                  np.full(R, -5.0)], -1).astype(np.float32)
+    d = np.stack([rng.uniform(-0.25, 0.25, R),
+                  rng.uniform(-0.25, 0.25, R),
+                  np.ones(R)], -1).astype(np.float32)
+    noise = rng.random(R).astype(np.float32)
+    hits = ray_aabb_intersect(jnp.asarray(o), jnp.asarray(d),
+                              jnp.zeros(3), jnp.full(3, cfg.scale))
+    blk = march_rays_block(cfg, tb, jnp.asarray(o), jnp.asarray(d), hits,
+                           jnp.asarray(noise))
+    hits_np = np.asarray(hits)
+    blk_ts = np.asarray(blk["ts"])
+    blk_valid = np.asarray(blk["valid"])
+    blk_n = blk_valid.sum(1)
+    any_hit = False
+    for r in range(R):
+        want = _oracle_march_exact(dense, o[r], d[r], hits_np[r, 0],
+                                   hits_np[r, 1], cfg, noise[r])
+        any_hit |= len(want) > 0
+        if blk_n[r] >= cfg.capacity:
+            continue  # capacity-clipped tails can drop oracle samples
+        got = np.sort(blk_ts[r][blk_valid[r]])
+        for t_w, _ in want:
+            j = np.searchsorted(got, t_w)
+            cands = got[max(j - 1, 0):j + 1]
+            assert cands.size and np.min(
+                np.abs(cands - t_w)) <= 2e-4 * max(t_w, 1.0), (r, t_w)
+    assert any_hit
