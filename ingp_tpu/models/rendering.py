@@ -57,8 +57,9 @@ class RenderConfig:
     # ray-run dedup encoding (ops/raybrick.py): skip the sample
     # compaction and encode the (R, capacity) march grid directly, with
     # one table row per brick run per ray. Requires the brick/fused
-    # encoder; capacity doubles as the per-ray sample budget
-    # (samples_per_ray is ignored on this path).
+    # encoder. samples_per_ray sets the same GLOBAL budget
+    # (K = R * samples_per_ray, ray-major first-come) as the compact
+    # path, so both paths composite the identical sample set.
     ray_dedup: bool = False
     dedup_slack: float = 1.5     # z-term headroom for gapped runs (run_caps)
 
@@ -126,6 +127,18 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
         # network batch (N = R*S ray-major), and the encoder dedups
         # brick runs along each ray (ops/raybrick.py). The pack/unpack
         # plumbing and its backward disappear entirely.
+        #
+        # Global sample budget: keep the first K valid samples in
+        # sample-major order — the exact set compact_samples keeps
+        # (deepest samples dropped uniformly on overflow) — so the two
+        # train paths share compositing semantics at every op-point.
+        # (Without this, the per-ray cap composited every marched
+        # sample; the extra early-training fog samples got
+        # rgb-supervised, the density grid stayed ~50% denser, and
+        # novel-view PSNR landed 3 dB below the compact control at the
+        # same march capacity — see PERF_NOTES.md round-2 bisect.)
+        cum = jnp.cumsum(valid.T.reshape(-1).astype(jnp.int32))
+        valid = valid & (cum.reshape(S, R).T <= K)
         from ..ops.raybrick import run_caps
         caps = run_caps(model_cfg.density_brick_cfg
                         if model_cfg.encoder == "brick"

@@ -65,10 +65,11 @@ def model_config_from_hparams(h) -> NGPConfig:
 
 def render_config_from_hparams(h, test=False) -> RenderConfig:
     exp_step = 1.0 / 256 if h.dataset_name in REAL_DATASETS else 0.0
-    # ray_dedup renders on the (R, capacity) grid with run-dedup encode;
-    # the per-ray budget IS the capacity (see RenderConfig). Requires
-    # the brick/fused encoder and a constant-dt lattice (exp_step 0,
-    # where the run-cap calibration holds).
+    # ray_dedup renders on the (R, capacity) march grid with run-dedup
+    # encode and the same global K = R*samples_per_ray budget as the
+    # compact path (see RenderConfig). Requires the brick/fused encoder
+    # and a constant-dt lattice (exp_step 0, where the run-cap
+    # calibration holds).
     ray_dedup = (getattr(h, "ray_dedup", False) and exp_step == 0.0
                  and not test   # test path keeps the two-phase renderer
                  and getattr(h, "encoder", "hash") in ("brick", "fused"))
@@ -77,7 +78,7 @@ def render_config_from_hparams(h, test=False) -> RenderConfig:
         exp_step_factor=exp_step,
         T_threshold=1e-2 if test else 1e-4,   # render.py:125 / rendering.py:227
         max_samples=MAX_SAMPLES,
-        capacity=spr if ray_dedup else getattr(h, "capacity", 192),
+        capacity=getattr(h, "capacity", 192),
         march_iters=getattr(h, "march_iters", 1024),
         samples_per_ray=spr,
         use_skybox=h.use_skybox,
@@ -362,7 +363,13 @@ class NeRFSystem:
         the chunk cap) scales with the mesh size."""
         chunk = chunk_size or self.hparams.chunk_size
         spr = max(self.render_cfg_test.samples_per_ray, 1)
-        n_dev = self.mesh.size if self.mesh is not None else 1
+        # single-process: shard each image's rays over the mesh.
+        # multi-host: hosts render DIFFERENT images (validate's
+        # round-robin), so each renders locally — sharding one image
+        # over a global mesh would need every host in lockstep on the
+        # same rays.
+        n_dev = self.mesh.size if (self.mesh is not None
+                                   and jax.process_count() == 1) else 1
         chunk = min(chunk, max(n_dev * 1_500_000 // spr, 4096))
         if n_dev > 1:  # keep ray chunks evenly shardable
             chunk = max(chunk // n_dev, 1) * n_dev

@@ -182,3 +182,57 @@ def test_render_path_matches_compact_path():
         np.testing.assert_allclose(np.asarray(g_out[k]),
                                    np.asarray(g_ref[k]), rtol=1e-3,
                                    atol=1e-7, err_msg=k)
+
+
+def test_render_path_matches_compact_path_binding_budget():
+    """capacity > samples_per_ray with the global budget BINDING: the
+    dedup path must keep compact_samples' exact sample-major kept set,
+    reproducing the compact path's outputs and table gradients."""
+    from ingp_tpu.models import (NGPConfig, ngp_init, RenderConfig,
+                                 render_rays)
+
+    cfg = NGPConfig(scale=0.5, density_L=4, density_log2T=12, rgb_L=4,
+                    rgb_log2T=12, classes=3, grid_size=32,
+                    encoder="brick")
+    params = ngp_init(jax.random.PRNGKey(1), cfg)
+    params["density_table"] = params["density_table"] * 2e3
+
+    bitfield = jnp.full((cfg.cascades * cfg.grid_size ** 3 // 32,),
+                        0xFFFFFFFF, jnp.uint32)
+    rng = np.random.default_rng(5)
+    Rr = 64
+    ro = np.stack([rng.uniform(-0.3, 0.3, Rr),
+                   rng.uniform(-0.3, 0.3, Rr),
+                   np.full(Rr, -1.4)], -1).astype(np.float32)
+    rd = np.stack([rng.uniform(-0.1, 0.1, Rr),
+                   rng.uniform(-0.1, 0.1, Rr),
+                   np.ones(Rr)], -1).astype(np.float32)
+    args = (jnp.asarray(ro), jnp.asarray(rd), jnp.zeros(Rr))
+
+    # full bitfield + capacity 64 marches ~64 samples/ray; budget
+    # K = 64*16 binds hard
+    base = RenderConfig(capacity=64, march_iters=128, samples_per_ray=16)
+    dd = dataclasses.replace(base, ray_dedup=True, dedup_slack=4.0)
+    ref = render_rays(cfg, base, params, bitfield, *args)
+    out = render_rays(cfg, dd, params, bitfield, *args)
+    assert float(jnp.sum(ref["valid"])) == 64 * 16  # budget really binds
+    for k in ("rgb", "depth", "opacity", "normal_pred", "semantic",
+              "Ro", "Rp", "distortion"):
+        np.testing.assert_allclose(np.asarray(out[k]),
+                                   np.asarray(ref[k]), rtol=2e-4,
+                                   atol=2e-5, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(out["valid"]),
+                                  np.asarray(ref["valid"]))
+
+    def loss(fn_cfg):
+        def f(p):
+            r = render_rays(cfg, fn_cfg, p, bitfield, *args)
+            return jnp.mean(r["rgb"] ** 2) + jnp.mean(r["Rp"])
+        return f
+
+    g_ref = jax.grad(loss(base))(params)
+    g_out = jax.grad(loss(dd))(params)
+    for k in ("density_table", "rgb_table"):
+        np.testing.assert_allclose(np.asarray(g_out[k]),
+                                   np.asarray(g_ref[k]), rtol=1e-3,
+                                   atol=1e-7, err_msg=k)
