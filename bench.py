@@ -51,6 +51,8 @@ def main():
         encode_chunk=int(os.environ.get("BENCH_CHUNK", "98304")),
         ray_dedup=os.environ.get("BENCH_DEDUP", "1") == "1",
         dedup_slack=float(os.environ.get("BENCH_DEDUP_SLACK", "1.5")),
+        stream_dedup=os.environ.get("BENCH_STREAM", "0") == "1",
+        stream_tile=int(os.environ.get("BENCH_STREAM_TILE", "256")),
     )
     tr = SyntheticDataset(split="train", img_size=256, n_train=16)
     te = SyntheticDataset(split="test", img_size=256, n_test=1)

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--img_size", type=int, default=256)
     ap.add_argument("--n_train", type=int, default=100)
     ap.add_argument("--ray_dedup", action="store_true", default=False)
+    ap.add_argument("--stream_dedup", action="store_true", default=False)
+    ap.add_argument("--stream_tile", type=int, default=256)
+    ap.add_argument("--stream_slack", type=float, default=1.5)
+    ap.add_argument("--stream_seg", type=int, default=12)
     ap.add_argument("--dedup_slack", type=float, default=1.5)
     ap.add_argument("--sparsity", type=float, default=1e-3)
     args = ap.parse_args()
@@ -50,7 +54,9 @@ def main():
         samples_per_ray=args.spr, encoder="brick",
         table_dtype="bfloat16", encode_chunk=args.chunk,
         sparsity_loss=args.sparsity, ray_dedup=args.ray_dedup,
-        dedup_slack=args.dedup_slack)
+        dedup_slack=args.dedup_slack, stream_dedup=args.stream_dedup,
+        stream_tile=args.stream_tile, stream_slack=args.stream_slack,
+        stream_seg=args.stream_seg)
     tr = SyntheticDataset(split="train", img_size=args.img_size,
                           n_train=args.n_train)
     te = SyntheticDataset(split="test", img_size=args.img_size, n_test=4)

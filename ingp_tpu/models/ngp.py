@@ -79,6 +79,15 @@ class NGPConfig:
     #                                 (False trades HBM for a pass)
     encode_chunk: int = 16384       # encoder chunk size (larger = fewer
     #                                 loop iterations, more live HBM)
+    # stream-dedup encoding (ops/streambrick.py): callers that encode a
+    # RAY-CONTIGUOUS compacted sample stream (the render paths) opt in
+    # per call with stream=True; this flag arms it for brick/fused
+    # encoders. Coarse levels then fetch one table row per brick RUN of
+    # the stream instead of one per sample.
+    stream_dedup: bool = False
+    stream_tile: int = 256          # samples per dedup tile
+    stream_slack: float = 1.5       # run-cap headroom (stream_caps)
+    stream_seg: int = 12            # shortest typical per-ray segment
 
     @property
     def cascades(self) -> int:
@@ -201,45 +210,58 @@ def _storage_dt(cfg: NGPConfig):
     return None if cfg.table_dtype == "float32" else cfg.table_dtype
 
 
-def _encode_density(cfg: NGPConfig, params, u, x_cm=False):
+def _use_stream(cfg: NGPConfig, stream: bool) -> bool:
+    return (stream and cfg.stream_dedup
+            and cfg.encoder in ("brick", "fused"))
+
+
+def _brick_encode(cfg: NGPConfig, bcfg, table, u, x_cm, stream):
+    """brickgrid/streambrick encode dispatch (same output layout)."""
     sd = _storage_dt(cfg)
+    if _use_stream(cfg, stream):
+        from ..ops.streambrick import streambrick_encode
+        return streambrick_encode(
+            bcfg, table, u if x_cm else u.T, tile=cfg.stream_tile,
+            chunk=cfg.encode_chunk, remat=cfg.encode_remat,
+            storage_dtype=sd, slack=cfg.stream_slack,
+            seg_est=cfg.stream_seg)
+    return brickgrid_encode(bcfg, table, u, remat=cfg.encode_remat,
+                            chunk=cfg.encode_chunk, storage_dtype=sd,
+                            x_cm=x_cm)
+
+
+def _encode_density(cfg: NGPConfig, params, u, x_cm=False,
+                    stream=False):
     if cfg.encoder == "fused":
-        feats = brickgrid_encode(cfg.fused_brick_cfg,
-                                 params["grid_table"], u,
-                                 remat=cfg.encode_remat, chunk=cfg.encode_chunk,
-                                 storage_dtype=sd, x_cm=x_cm)
+        feats = _brick_encode(cfg, cfg.fused_brick_cfg,
+                              params["grid_table"], u, x_cm, stream)
         return _split_fused(cfg, feats)[0]
     if cfg.encoder == "brick":
-        return brickgrid_encode(cfg.density_brick_cfg,
-                                params["density_table"], u,
-                                remat=cfg.encode_remat, chunk=cfg.encode_chunk,
-                                storage_dtype=sd, x_cm=x_cm)
+        return _brick_encode(cfg, cfg.density_brick_cfg,
+                             params["density_table"], u, x_cm, stream)
     return hashgrid_encode(cfg.density_grid_cfg,
-                           params["density_table"], u, storage_dtype=sd,
-                           x_cm=x_cm)
+                           params["density_table"], u,
+                           storage_dtype=_storage_dt(cfg), x_cm=x_cm)
 
 
-def _encode_rgb(cfg: NGPConfig, params, u, x_cm=False):
-    sd = _storage_dt(cfg)
+def _encode_rgb(cfg: NGPConfig, params, u, x_cm=False, stream=False):
     if cfg.encoder == "fused":
-        feats = brickgrid_encode(cfg.fused_brick_cfg,
-                                 params["grid_table"], u,
-                                 remat=cfg.encode_remat, chunk=cfg.encode_chunk,
-                                 storage_dtype=sd, x_cm=x_cm)
+        feats = _brick_encode(cfg, cfg.fused_brick_cfg,
+                              params["grid_table"], u, x_cm, stream)
         return _split_fused(cfg, feats)[1]
     if cfg.encoder == "brick":
-        return brickgrid_encode(cfg.rgb_brick_cfg, params["rgb_table"], u,
-                                remat=cfg.encode_remat, chunk=cfg.encode_chunk, storage_dtype=sd,
-                                x_cm=x_cm)
+        return _brick_encode(cfg, cfg.rgb_brick_cfg, params["rgb_table"],
+                             u, x_cm, stream)
     return hashgrid_encode(cfg.rgb_grid_cfg, params["rgb_table"], u,
-                           storage_dtype=sd, x_cm=x_cm)
+                           storage_dtype=_storage_dt(cfg), x_cm=x_cm)
 
 
-def ngp_sigma_cm(cfg: NGPConfig, params, x_cm):
+def ngp_sigma_cm(cfg: NGPConfig, params, x_cm, stream=False):
     """Density only, channel-major: x_cm (3, N) world coords -> (N,)
-    sigma (networks.py:165-184)."""
+    sigma (networks.py:165-184). stream=True only for ray-contiguous
+    compacted sample streams (stream-dedup encode)."""
     u = _normalize_coords(cfg, x_cm)
-    h = _encode_density(cfg, params, u, x_cm=True)
+    h = _encode_density(cfg, params, u, x_cm=True, stream=stream)
     raw = mlp_apply_cm(params["xyz_net"], h, "softplus", "none",
                        cfg.dtype)[0]
     return jax.nn.softplus(raw)
@@ -264,7 +286,7 @@ def ngp_density(cfg: NGPConfig, params, x, return_feat=False):
     return sigmas
 
 
-def ngp_grad_cm(cfg: NGPConfig, params, x_cm):
+def ngp_grad_cm(cfg: NGPConfig, params, x_cm, stream=False):
     """(sigmas (N,), feat_rgb (N, LF), d sigma/dx (3, N)) —
     networks.py:186-196, channel-major.
 
@@ -277,22 +299,30 @@ def ngp_grad_cm(cfg: NGPConfig, params, x_cm):
     u = _normalize_coords(cfg, x_cm)
     sd = _storage_dt(cfg)
     feat_rgb = None
+
+    def grad_encode(bcfg, table, jac_lo, jac_hi):
+        if _use_stream(cfg, stream):
+            from ..ops.streambrick import streambrick_encode_grad
+            return streambrick_encode_grad(
+                bcfg, table, u, tile=cfg.stream_tile,
+                chunk=cfg.encode_chunk, remat=cfg.encode_remat,
+                jac_lo=jac_lo, jac_hi=jac_hi, storage_dtype=sd,
+                slack=cfg.stream_slack, seg_est=cfg.stream_seg)
+        from ..ops.brickgrid import brickgrid_encode_grad
+        return brickgrid_encode_grad(
+            bcfg, table, u, remat=cfg.encode_remat,
+            chunk=cfg.encode_chunk, jac_lo=jac_lo, jac_hi=jac_hi,
+            storage_dtype=sd, x_cm=True)
+
     if cfg.encoder == "fused":
         # ONE gather pass produces density features + density jacobian
         # + rgb features (the whole reason the fused layout exists)
-        from ..ops.brickgrid import brickgrid_encode_grad
-        fused, jac = brickgrid_encode_grad(
-            cfg.fused_brick_cfg, params["grid_table"], u,
-            remat=cfg.encode_remat, chunk=cfg.encode_chunk,
-            jac_lo=0, jac_hi=cfg.density_F,
-            storage_dtype=sd, x_cm=True)
+        fused, jac = grad_encode(cfg.fused_brick_cfg,
+                                 params["grid_table"], 0, cfg.density_F)
         feats, feat_rgb = _split_fused(cfg, fused)
     elif cfg.encoder == "brick":
-        from ..ops.brickgrid import brickgrid_encode_grad
-        feats, jac = brickgrid_encode_grad(cfg.density_brick_cfg,
-                                           params["density_table"], u,
-                                           remat=cfg.encode_remat, chunk=cfg.encode_chunk,
-                                           storage_dtype=sd, x_cm=True)
+        feats, jac = grad_encode(cfg.density_brick_cfg,
+                                 params["density_table"], 0, None)
     else:
         feats, jac = hashgrid_encode_grad(cfg.density_grid_cfg,
                                           params["density_table"], u,
@@ -305,7 +335,7 @@ def ngp_grad_cm(cfg: NGPConfig, params, x_cm):
     # du/dx = 1/(2*scale) from _normalize_coords
     grads = jnp.einsum("dnf,nf->dn", jac, dfeat) / (2.0 * cfg.scale)
     if feat_rgb is None:
-        feat_rgb = _encode_rgb(cfg, params, u, x_cm=True)
+        feat_rgb = _encode_rgb(cfg, params, u, x_cm=True, stream=stream)
     return sigmas, feat_rgb, grads
 
 
@@ -415,7 +445,7 @@ def _rgb_net_cm(cfg: NGPConfig, params, dsh_cm, feat, embedding_a,
 
 def ngp_forward_cm(cfg: NGPConfig, params, x_cm, d_cm, embedding_a=None,
                    exposure=None, output_radiance=False,
-                   stop_header_grads=False):
+                   stop_header_grads=False, stream=False):
     """Full per-sample forward (networks.py:198-282), channel-major.
 
     Args:
@@ -428,7 +458,8 @@ def ngp_forward_cm(cfg: NGPConfig, params, x_cm, d_cm, embedding_a=None,
     normals_pred (3, N), semantic (classes, N)) — channel axis leading
     so every array is lane-dense on TPU (a trailing 3 pads 42x).
     """
-    sigmas, feat_rgb, grads = ngp_grad_cm(cfg, params, x_cm)
+    sigmas, feat_rgb, grads = ngp_grad_cm(cfg, params, x_cm,
+                                          stream=stream)
     return _forward_heads(cfg, params, sigmas, feat_rgb, grads, d_cm,
                           embedding_a, exposure, output_radiance,
                           stop_header_grads)

@@ -179,10 +179,12 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
         xyz_cm = o_cm[:, rids] + t_k[None] * dir_cm
         emb_k = embedding_a[rids] if embedding_a is not None else None
 
+        # the compact batch is ray-contiguous (ops/pack.py ray-major
+        # order): stream-dedup encoding applies when configured
         sigmas_k, rgbs_cm, nraw_cm, npred_cm, sems_cm = ngp_forward_cm(
             model_cfg, params, xyz_cm, dir_cm, embedding_a=emb_k,
             exposure=exposure,
-            stop_header_grads=render_cfg.stop_header_grads)
+            stop_header_grads=render_cfg.stop_header_grads, stream=True)
 
         # zero out padding lanes before scattering back
         pad = ~plan.slot_valid
@@ -322,7 +324,8 @@ def _render_rays_test_inner(model_cfg, render_cfg, params, bitfield,
     o_cm, d_cm = rays_o.T, rays_d.T
     xyz_cm = o_cm[:, rids] + t_k[None] * d_cm[:, rids]
     sig_k = jnp.where(~plan.slot_valid, 0.0,
-                      ngp_sigma_cm(model_cfg, params, xyz_cm))
+                      ngp_sigma_cm(model_cfg, params, xyz_cm,
+                                   stream=True))
     sigmas = scatter_back(sig_k, plan)
     valid_k = plan.cell_valid
 
@@ -341,7 +344,7 @@ def _render_rays_test_inner(model_cfg, render_cfg, params, bitfield,
     emb2 = embedding_a[rids2] if embedding_a is not None else None
     _, rgbs_cm, nraw_cm, npred_cm, sems_cm = ngp_forward_cm(
         model_cfg, params, xyz2_cm, dir2_cm, embedding_a=emb2,
-        exposure=exposure, stop_header_grads=True)
+        exposure=exposure, stop_header_grads=True, stream=True)
     pad2 = ~plan2.slot_valid
     rgbs = scatter_back_cm(jnp.where(pad2[None], 0.0, rgbs_cm), plan2)
     npred = scatter_back_cm(jnp.where(pad2[None], 0.0, npred_cm), plan2)

@@ -216,10 +216,14 @@ def brick_coords(cfg: BrickGridConfig, xT):
     return rows, local, frac
 
 
-def reduce_feats(cfg: BrickGridConfig, g, local, frac, N):
-    """Trilerp-weight the gathered rows g (L*N, W) and reduce to
-    (N, L*F) level-major features."""
-    L, F = cfg.n_levels, cfg.n_features
+def reduce_feats(cfg: BrickGridConfig, g, local, frac, N,
+                 level_lo: int = 0, level_hi: int | None = None):
+    """Trilerp-weight the gathered rows g (Lw*N, W) and reduce to
+    (N, Lw*F) level-major features. level_lo/level_hi select a level
+    window Lw = level_hi - level_lo (g/local/frac cover only that
+    window; used by the stream-dedup encoder's level split)."""
+    L = (cfg.n_levels if level_hi is None else level_hi) - level_lo
+    F = cfg.n_features
     li, lj, lk = _lane_coords(cfg)
 
     def axis_w(lane_c, loc, fr):
@@ -286,13 +290,17 @@ def brickgrid_encode_grad(cfg: BrickGridConfig, table: jnp.ndarray,
 
 
 def reduce_feats_jac(cfg: BrickGridConfig, g, local, frac, N,
-                     jac_lo=0, jac_hi=None):
-    """Trilerp-weight g (L*N, W) and reduce to (feats (N, L*F),
-    jac (3, N, L*Fj)) with the analytic d/dx of the interpolation."""
-    L, F = cfg.n_levels, cfg.n_features
+                     jac_lo=0, jac_hi=None, level_lo: int = 0,
+                     level_hi: int | None = None):
+    """Trilerp-weight g (Lw*N, W) and reduce to (feats (N, Lw*F),
+    jac (3, N, Lw*Fj)) with the analytic d/dx of the interpolation.
+    level_lo/level_hi select a level window (see reduce_feats)."""
+    level_hi = cfg.n_levels if level_hi is None else level_hi
+    L = level_hi - level_lo
+    F = cfg.n_features
     B = cfg.brick_size
     Fj = (F if jac_hi is None else jac_hi) - jac_lo
-    scales = jnp.asarray(cfg.scales, jnp.float32)
+    scales = jnp.asarray(cfg.scales[level_lo:level_hi], jnp.float32)
 
     # fused Pallas reduce: one pass over g for feats + jacobian instead
     # of four XLA fusions each re-reading the gathered block from HBM

@@ -22,9 +22,15 @@ Two jobs:
    vectorized searchsorted, the inverse map is the cumsum itself. No
    scatter appears anywhere in the compaction, forward or backward.
 
-   Flattening is **sample-major** (index = s * R + r): if the batch
-   overflows K, the *deepest* samples of all rays are dropped uniformly,
-   rather than all samples of the last rays (ray-major would do that).
+   KEPT SET vs ORDER: when the batch overflows K, the kept samples are
+   chosen in **sample-major** order (index = s * R + r) — the *deepest*
+   samples of all rays are dropped uniformly, rather than all samples
+   of the last rays. The kept samples are then PACKED in **ray-major**
+   order (index = r * S + s): each ray's samples sit contiguously and
+   t-ordered in the compact batch, which is what lets the stream-dedup
+   encoder (ops/streambrick.py) share brick-row fetches between
+   consecutive samples. The order is free — every consumer maps through
+   the plan's index arrays.
 """
 from __future__ import annotations
 
@@ -56,7 +62,7 @@ class CompactPlan(NamedTuple):
     """Bijective index maps between valid (R, S) cells and (K,) slots.
 
     Shapes carry the static dims: src is (K,), slot_grid is (R, S)."""
-    src: jnp.ndarray         # (K,) sample-major flat index per slot
+    src: jnp.ndarray         # (K,) ray-major flat index per slot
     slot_valid: jnp.ndarray  # (K,) slot holds a real sample
     slot_grid: jnp.ndarray   # (R, S) compact slot per cell (valid cells)
     cell_valid: jnp.ndarray  # (R, S) cell is valid AND kept (slot < K)
@@ -67,37 +73,39 @@ class CompactPlan(NamedTuple):
 def compact_samples(valid: jnp.ndarray, capacity: int) -> CompactPlan:
     """Plan the pack of valid (R, S) cells into a fixed (K,) batch.
 
-    Gather-only: slots are assigned by an exclusive count (cumsum) and
-    the forward map src[i] = index of the i-th valid sample comes from a
-    vectorized searchsorted on the inclusive count.
+    Kept set: the first K valid cells in sample-major order (deepest
+    samples dropped uniformly on overflow). Slot order: ray-major, so
+    the compact batch is ray-contiguous (see module docstring).
+
+    Gather-only: slots are assigned by cumulative counts; the only
+    scatter moves indices, not data.
     """
     R, S = valid.shape
     K = capacity
-    flat = valid.T.reshape(-1)                        # sample-major (S*R,)
-    inc = jnp.cumsum(flat.astype(jnp.int32))          # inclusive count
-    n_valid_all = inc[-1]
+    flat_sm = valid.T.reshape(-1)                     # sample-major (S*R,)
+    inc_sm = jnp.cumsum(flat_sm.astype(jnp.int32))
+    n_valid_all = inc_sm[-1]
+    kept_sm = flat_sm & (inc_sm - 1 < K)
+    kept = jnp.swapaxes(kept_sm.reshape(S, R), 0, 1)  # (R, S)
 
-    # forward map: one small scatter of the slot assignments (measured
-    # 3x faster than a flat searchsorted at this size); this is the ONLY
-    # scatter in the compaction and it moves indices, not data
-    dest = jnp.where(flat & (inc - 1 < K), inc - 1, K)
+    flat = kept.reshape(-1)                           # ray-major (R*S,)
+    inc = jnp.cumsum(flat.astype(jnp.int32))
+    dest = jnp.where(flat, inc - 1, K)
     src = jnp.full((K + 1,), S * R, dtype=jnp.int32)
     src = src.at[dest].set(jnp.arange(S * R, dtype=jnp.int32),
                            mode="drop")[:K]
     n_valid = jnp.minimum(n_valid_all, K)
     slot_valid = jnp.arange(K, dtype=jnp.int32) < n_valid
 
-    # inverse map: slot of each cell (only meaningful where valid)
-    slot_flat = inc - 1
-    slot_grid = jnp.swapaxes(slot_flat.reshape(S, R), 0, 1)
-    cell_valid = valid & (slot_grid < K)
-    return CompactPlan(src, slot_valid, slot_grid, cell_valid, n_valid)
+    # inverse map: slot of each cell (only meaningful where kept)
+    slot_grid = (inc - 1).reshape(R, S)
+    return CompactPlan(src, slot_valid, slot_grid, kept, n_valid)
 
 
 def _gather_fwd(arr, plan: CompactPlan):
     R, S = plan.slot_grid.shape
     tail = arr.shape[2:]
-    flat = jnp.swapaxes(arr, 0, 1).reshape((R * S,) + tail)
+    flat = arr.reshape((R * S,) + tail)               # ray-major
     safe = jnp.minimum(plan.src, R * S - 1)
     out = jnp.take(flat, safe, axis=0)
     pad = ~plan.slot_valid
@@ -156,9 +164,9 @@ scatter_back.defvjp(_scatter_vjp_fwd, _scatter_vjp_bwd)
 
 
 def ray_ids_for(plan: CompactPlan):
-    """Ray index of each compact slot (sample-major flattening)."""
+    """Ray index of each compact slot (ray-major flattening)."""
     R, S = plan.slot_grid.shape
-    return (jnp.minimum(plan.src, R * S - 1) % R).astype(jnp.int32)
+    return (jnp.minimum(plan.src, R * S - 1) // S).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -174,7 +182,7 @@ def ray_ids_for(plan: CompactPlan):
 def _gather_fwd_cm(arr, plan: CompactPlan):
     C = arr.shape[0]
     R, S = plan.slot_grid.shape
-    flat = jnp.swapaxes(arr, 1, 2).reshape(C, R * S)   # sample-major
+    flat = arr.reshape(C, R * S)                       # ray-major
     safe = jnp.minimum(plan.src, R * S - 1)
     out = jnp.take(flat, safe, axis=1)
     return jnp.where(plan.slot_valid[None], out, jnp.zeros((), arr.dtype))

@@ -40,6 +40,20 @@ from .brickreduce_pallas import (_lane_coords, _axis_w, _select_matrix,
 RAY_TILE = 8        # rays per grid step
 
 
+def _pick_uc(U: int, W: int, budget: int = 4 * 1024 * 1024) -> int:
+    """Unique-slot chunk for the backward's (RAY_TILE, Uc, W) f32 dG
+    block: the stream-dedup path can have U in the hundreds, and the
+    full-U block overflows the 16 MB scoped vmem. U must be a multiple
+    of the returned chunk (callers pad U to a 128 multiple)."""
+    full = RAY_TILE * U * W * 4
+    if full <= budget or U % 128:
+        return U
+    for uc in (512, 384, 256, 128):
+        if U % uc == 0 and RAY_TILE * uc * W * 4 <= budget:
+            return uc
+    return U
+
+
 def _pick_kslab(K: int) -> int:
     """Samples (l*S + s cells) per grid step: the largest lane-aligned
     divisor of K up to 512 — bigger slabs amortize per-grid-step
@@ -110,14 +124,20 @@ def _fwd_kernel(F, Fj, U, with_jac, G_ref, uid_ref, lf_ref, sel_ref,
             jac_ref[0][2 * Fj:, r, :] = red(selj, wx * wy * dwz) * scT
 
 
-def _bwd_kernel(F, Fj, U, with_jac, mm_dt, selT_ref, uid_ref, lf_ref,
+def _bwd_kernel(F, Fj, Uc, with_jac, mm_dt, selT_ref, uid_ref, lf_ref,
                 df_ref, *rest):
+    """Grid (rays, U chunks, k slabs): the slab axis is innermost so
+    each (ray tile, U chunk) dG block accumulates across consecutive
+    grid steps; the U axis bounds the block at (TR, Uc, W) — the
+    full-U block overflows scoped vmem when the stream-dedup path
+    pushes U into the hundreds."""
     dj_ref = rest[0] if with_jac else None
     dG_ref = rest[-1]
     W = dG_ref.shape[-1]
     TR, KS = uid_ref.shape
-    first = pl.program_id(1) == 0
-    u_iota = jax.lax.broadcasted_iota(jnp.int32, (KS, U), 1)
+    first = pl.program_id(2) == 0
+    u_base = pl.program_id(1) * Uc
+    u_iota = jax.lax.broadcasted_iota(jnp.int32, (KS, Uc), 1) + u_base
     for r in range(TR):
         lf = lf_ref[:, r, :]
         wx, wy, wz, dwx, dwy, dwz, sc, _, li = _weights(lf, W, F)
@@ -190,23 +210,24 @@ def fused_ray_reduce(g_u, uid, lf, F, with_jac=True, jac_lo=0,
     K = uid.shape[1]
     Fj = (F if jac_hi is None else jac_hi) - jac_lo
     ks = _pick_kslab(K)
-    grid = (R // RAY_TILE, K // ks)
+    rt = RAY_TILE
+    grid = (R // rt, K // ks)
     sel = _sel_pair(W, F, jac_lo, Fj, with_jac)
     out_shape = [jax.ShapeDtypeStruct((F, R, K), jnp.float32)]
-    out_specs = [pl.BlockSpec((F, RAY_TILE, ks),
+    out_specs = [pl.BlockSpec((F, rt, ks),
                               lambda i, j: (0, i, j))]
     if with_jac:
         out_shape.append(jax.ShapeDtypeStruct((3 * Fj, R, K),
                                               jnp.float32))
-        out_specs.append(pl.BlockSpec((3 * Fj, RAY_TILE, ks),
+        out_specs.append(pl.BlockSpec((3 * Fj, rt, ks),
                                       lambda i, j: (0, i, j)))
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, F, Fj, U, with_jac),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((RAY_TILE, U, W), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((RAY_TILE, ks), lambda i, j: (i, j)),
-            pl.BlockSpec((8, RAY_TILE, ks), lambda i, j: (0, i, j)),
+            pl.BlockSpec((rt, U, W), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((rt, ks), lambda i, j: (i, j)),
+            pl.BlockSpec((8, rt, ks), lambda i, j: (0, i, j)),
             pl.BlockSpec(sel.shape, lambda i, j: (0, 0)),
         ],
         out_specs=out_specs,
@@ -268,23 +289,25 @@ def _frr_bwd(F, with_jac, jac_lo, jac_hi, interpret, res, cts):
     ks = _pick_kslab(K)
     single_slab = (K // ks) == 1
     out_dt = token.dtype if single_slab else jnp.float32
+    rt = RAY_TILE
+    uc = _pick_uc(U, W) if out_dt == jnp.float32 else U
     selT = _selT_blockdiag(W, F, jac_lo, Fj, with_jac)
     in_specs = [
-        pl.BlockSpec(selT.shape, lambda i, j: (0, 0)),
-        pl.BlockSpec((RAY_TILE, ks), lambda i, j: (i, j)),
-        pl.BlockSpec((8, RAY_TILE, ks), lambda i, j: (0, i, j)),
-        pl.BlockSpec((F, RAY_TILE, ks), lambda i, j: (0, i, j)),
+        pl.BlockSpec(selT.shape, lambda i, u, j: (0, 0)),
+        pl.BlockSpec((rt, ks), lambda i, u, j: (i, j)),
+        pl.BlockSpec((8, rt, ks), lambda i, u, j: (0, i, j)),
+        pl.BlockSpec((F, rt, ks), lambda i, u, j: (0, i, j)),
     ]
     args = [selT, uid, lf, df.astype(jnp.float32)]
     if with_jac:
-        in_specs.append(pl.BlockSpec((3 * Fj, RAY_TILE, ks),
-                                     lambda i, j: (0, i, j)))
+        in_specs.append(pl.BlockSpec((3 * Fj, rt, ks),
+                                     lambda i, u, j: (0, i, j)))
         args.append(dj.astype(jnp.float32))
     dG = pl.pallas_call(
-        functools.partial(_bwd_kernel, F, Fj, U, with_jac, token.dtype),
-        grid=(R // RAY_TILE, K // ks),
+        functools.partial(_bwd_kernel, F, Fj, uc, with_jac, token.dtype),
+        grid=(R // rt, U // uc, K // ks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((RAY_TILE, U, W), lambda i, j: (i, 0, 0)),
+        out_specs=pl.BlockSpec((rt, uc, W), lambda i, u, j: (i, u, 0)),
         out_shape=jax.ShapeDtypeStruct((R, U, W), out_dt),
         interpret=interpret,
     )(*args)

@@ -123,6 +123,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "constant-dt scenes")
     parser.add_argument("--dedup_slack", type=float, default=1.5,
                         help="run-cap headroom factor for ray_dedup")
+    parser.add_argument("--stream_dedup", action="store_true",
+                        default=False,
+                        help="stream-dedup encoding on the compacted "
+                             "ray-contiguous batch (ops/streambrick.py):"
+                             " one table row per brick run of the "
+                             "stream; brick/fused encoders")
+    parser.add_argument("--stream_tile", type=int, default=256)
+    parser.add_argument("--stream_slack", type=float, default=1.5)
+    parser.add_argument("--stream_seg", type=int, default=12)
     parser.add_argument("--sparsity_loss", type=float, default=0.0,
                         help="global mean-sigma sparsity prior weight "
                              "(carves unsupervised fog; not in the "

@@ -60,6 +60,10 @@ def model_config_from_hparams(h) -> NGPConfig:
         table_dtype=getattr(h, "table_dtype", "float32"),
         encode_chunk=getattr(h, "encode_chunk", 16384),
         encode_remat=getattr(h, "encode_remat", True),
+        stream_dedup=getattr(h, "stream_dedup", False),
+        stream_tile=getattr(h, "stream_tile", 256),
+        stream_slack=getattr(h, "stream_slack", 1.5),
+        stream_seg=getattr(h, "stream_seg", 12),
     )
 
 

@@ -245,14 +245,19 @@ def test_compact_gather_scatter_roundtrip():
 
 
 def test_compact_overflow_drops_deepest():
-    # sample-major flattening: overflow drops the highest sample slots
+    # kept set is sample-major (deepest slots dropped on overflow), but
+    # slots are PACKED ray-major so the compact batch is ray-contiguous
     R, S, K = 4, 4, 6
     valid = jnp.ones((R, S), bool)
     plan = compact_samples(valid, K)
     assert int(plan.n_valid) == K
-    # first 6 sample-major entries are slot 0 of rays 0-3 then slot 1 of 0-1
-    want = [0 * R + 0, 0 * R + 1, 0 * R + 2, 0 * R + 3, 1 * R + 0, 1 * R + 1]
+    # kept: slot 0 of rays 0-3, slot 1 of rays 0-1 -> ray-major pack
+    want = [0 * S + 0, 0 * S + 1, 1 * S + 0, 1 * S + 1,
+            2 * S + 0, 3 * S + 0]
     np.testing.assert_array_equal(np.asarray(plan.src), want)
+    # each ray's kept samples sit contiguously, t-ordered
+    rid = np.asarray(plan.src) // S
+    assert (np.diff(rid) >= 0).all()
 
 
 def test_compact_gather_scatter_vjps_are_scatter_free_and_correct():
@@ -272,7 +277,7 @@ def test_compact_gather_scatter_vjps_are_scatter_free_and_correct():
     src = np.asarray(plan.src)
     for k in range(K):
         if np.asarray(plan.slot_valid)[k]:
-            s, r = divmod(src[k], R)
+            r, s = divmod(src[k], S)
             want[r, s] = float(ct[k])
     np.testing.assert_allclose(np.asarray(g), want, atol=1e-6)
 
@@ -282,6 +287,6 @@ def test_compact_gather_scatter_vjps_are_scatter_free_and_correct():
     want2 = np.zeros(K, np.float32)
     for k in range(K):
         if np.asarray(plan.slot_valid)[k]:
-            s, r = divmod(src[k], R)
+            r, s = divmod(src[k], S)
             want2[k] = float(ct2[r, s])
     np.testing.assert_allclose(np.asarray(g2), want2, atol=1e-6)

@@ -176,3 +176,62 @@ def _expand_full(g_u, uid, U):
     W = g.shape[-1]
     return jnp.transpose(g.reshape(R, L, S, W), (1, 0, 2, 3)
                          ).reshape(L * R * S, W)
+
+
+def test_backward_chunked_U_matches_xla():
+    """Large-U config (stream-dedup shapes): the backward's dG block is
+    chunked along the unique axis (grid axis u) — must still match XLA."""
+    from ingp_tpu.ops.pallas.rayreduce_pallas import _pick_uc
+    S2 = 96
+    K2 = L * S2
+    assert _pick_uc(L * S2, 32 * F) < L * S2  # chunking really engages
+
+    key = jax.random.PRNGKey(20)
+    table = brickgrid_init(key, CFG)
+    kd, ko = jax.random.split(key)
+    d = jax.random.normal(kd, (R, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    o = jax.random.uniform(ko, (R, 3)) * 0.4 + 0.2
+    t = jnp.arange(S2)[None, :] * (np.sqrt(3) / 1024)
+    x = jnp.clip(o[:, None, :] + t[..., None] * d[:, None, :], 0, 1)
+    xT = jnp.transpose(x, (2, 0, 1)).reshape(3, -1)
+    valid = jnp.ones((R, S2), bool)
+    caps = (S2,) * L
+    rows, local, frac = brick_coords(CFG, xT)
+    uid, urows = _unique_plan(CFG, rows.reshape(L, R, S2), valid, caps)
+    U = int(np.sum(caps))
+    g_u = jnp.take(table, urows.reshape(-1), axis=0).reshape(R, U, -1)
+
+    def to_rk(a):
+        return jnp.transpose(a.reshape(3, L, R, S2), (0, 2, 1, 3)
+                             ).reshape(3, R, K2)
+    sc = jnp.repeat(jnp.asarray(CFG.scales, jnp.float32), S2)
+    lf = jnp.concatenate([to_rk(local.astype(jnp.float32)), to_rk(frac),
+                          jnp.broadcast_to(sc, (1, R, K2)),
+                          jnp.zeros((1, R, K2), jnp.float32)], 0)
+
+    def xla_ref(g):
+        ge = _expand_unique(g, uid, U, jnp.float32)
+        W = ge.shape[-1]
+        ge = jnp.transpose(ge.reshape(R, L, S2, W), (1, 0, 2, 3)
+                           ).reshape(L * R * S2, W)
+        return reduce_feats_jac(CFG, ge, local, frac, R * S2)
+
+    wf = jax.random.normal(jax.random.PRNGKey(21), (R * S2, L * F))
+    wj = jax.random.normal(jax.random.PRNGKey(22), (3, R * S2, L * F))
+
+    def loss_ref(g):
+        fr, jr = xla_ref(g)
+        return jnp.sum(fr * wf) + jnp.sum(jr * wj)
+
+    def loss_pl(g):
+        fc, jc = fused_ray_reduce(g, uid, lf, F, True, 0, None, True)
+        fs = jnp.transpose(fc.reshape(F, R, L, S2), (1, 3, 2, 0)
+                           ).reshape(R * S2, L * F)
+        js = jnp.transpose(jc.reshape(3, F, R, L, S2), (0, 2, 4, 3, 1)
+                           ).reshape(3, R * S2, L * F)
+        return jnp.sum(fs * wf) + jnp.sum(js * wj)
+
+    g_ref = jax.grad(loss_ref)(g_u)
+    g_pl = jax.grad(loss_pl)(g_u)
+    np.testing.assert_allclose(g_pl, g_ref, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,164 @@
+"""Stream-dedup encoder (ops/streambrick.py) vs the per-sample brick
+encoder — values must be exact wherever no tile cap overflows."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ingp_tpu.ops.brickgrid import (BrickGridConfig, brickgrid_init,
+                                    brickgrid_encode,
+                                    brickgrid_encode_grad)
+from ingp_tpu.ops.streambrick import (streambrick_encode,
+                                      streambrick_encode_grad,
+                                      stream_caps, split_levels)
+
+CFG = BrickGridConfig(n_levels=8, n_features=4, log2_bricks=10,
+                      base_resolution=16, per_level_scale=1.45)
+
+
+def ray_stream(key, n_rays=40, max_seg=24):
+    """Ray-contiguous compact stream: concatenated t-ordered segments
+    of varying length (like compact_samples' ray-major output)."""
+    ks = jax.random.split(key, 3)
+    lens = np.asarray(jax.random.randint(ks[0], (n_rays,), 4, max_seg))
+    o = np.asarray(jax.random.uniform(ks[1], (n_rays, 3))) * 0.5 + 0.25
+    d = np.array(jax.random.normal(ks[2], (n_rays, 3)))
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    xs = []
+    for r in range(n_rays):
+        t = np.arange(lens[r])[:, None] * (np.sqrt(3) / 1024)
+        xs.append(np.clip(o[r] + t * d[r], 0, 1))
+    x = np.concatenate(xs).astype(np.float32)
+    return jnp.asarray(x.T)                       # (3, N)
+
+
+def test_caps_and_split_are_sane():
+    caps = stream_caps(CFG, 256)
+    assert len(caps) == 8 and list(caps) == sorted(caps)
+    lc = split_levels(caps, 256)
+    assert 0 < lc <= 8        # some coarse dedup levels, fine go direct
+
+
+def test_stream_encode_matches_per_sample():
+    key = jax.random.PRNGKey(0)
+    table = brickgrid_init(key, CFG)
+    x = ray_stream(jax.random.PRNGKey(1))
+    ref = brickgrid_encode(CFG, table, x, x_cm=True)
+    out = streambrick_encode(CFG, table, x, tile=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_stream_encode_grad_matches_per_sample():
+    key = jax.random.PRNGKey(2)
+    table = brickgrid_init(key, CFG)
+    x = ray_stream(jax.random.PRNGKey(3))
+    f_ref, j_ref = brickgrid_encode_grad(CFG, table, x, x_cm=True)
+    f, j = streambrick_encode_grad(CFG, table, x, tile=128)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stream_table_gradient_matches():
+    key = jax.random.PRNGKey(4)
+    table = brickgrid_init(key, CFG)
+    x = ray_stream(jax.random.PRNGKey(5), n_rays=20)
+    N = x.shape[1]
+    wf = jax.random.normal(jax.random.PRNGKey(6), (N, CFG.out_dim))
+
+    g_ref = jax.grad(lambda t: jnp.sum(
+        brickgrid_encode(CFG, t, x, x_cm=True) * wf))(table)
+    g_out = jax.grad(lambda t: jnp.sum(
+        streambrick_encode(CFG, t, x, tile=128) * wf))(table)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_stream_jac_window():
+    key = jax.random.PRNGKey(7)
+    table = brickgrid_init(key, CFG)
+    x = ray_stream(jax.random.PRNGKey(8), n_rays=16)
+    f_ref, j_ref = brickgrid_encode_grad(CFG, table, x, x_cm=True,
+                                         jac_lo=1, jac_hi=3)
+    f, j = streambrick_encode_grad(CFG, table, x, tile=128,
+                                   jac_lo=1, jac_hi=3)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stream_chunked_matches_single():
+    key = jax.random.PRNGKey(9)
+    table = brickgrid_init(key, CFG)
+    x = ray_stream(jax.random.PRNGKey(10), n_rays=120)
+    a = streambrick_encode(CFG, table, x, tile=128, chunk=512)
+    b = streambrick_encode(CFG, table, x, tile=128, chunk=1 << 20)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_random_points_overflow_graceful():
+    """A NON-contiguous stream (random points) overflows the coarse
+    caps: values degrade gracefully (finite, grads finite), never
+    crash — callers only route ray-contiguous streams here."""
+    key = jax.random.PRNGKey(11)
+    table = brickgrid_init(key, CFG)
+    x = jax.random.uniform(jax.random.PRNGKey(12), (3, 640))
+    out = streambrick_encode(CFG, table, x, tile=128)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    g = jax.grad(lambda t: jnp.sum(
+        streambrick_encode(CFG, t, x, tile=128) ** 2))(table)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_render_stream_matches_plain_compact():
+    """render_rays (compact path) with stream_dedup on/off: identical
+    outputs and table gradients — stream dedup is a transparent
+    encoder-level optimization."""
+    import dataclasses
+    from ingp_tpu.models import (NGPConfig, ngp_init, RenderConfig,
+                                 render_rays)
+
+    base_cfg = NGPConfig(scale=0.5, density_L=4, density_log2T=12,
+                         rgb_L=4, rgb_log2T=12, classes=3, grid_size=32,
+                         encoder="brick", stream_tile=128)
+    st_cfg = dataclasses.replace(base_cfg, stream_dedup=True,
+                                 stream_slack=4.0)
+    params = ngp_init(jax.random.PRNGKey(0), base_cfg)
+    params["density_table"] = params["density_table"] * 2e3
+
+    bitfield = jnp.full((base_cfg.cascades * 32 ** 3 // 32,),
+                        0xFFFFFFFF, jnp.uint32)
+    rng = np.random.default_rng(3)
+    Rr = 64
+    ro = np.stack([rng.uniform(-0.3, 0.3, Rr),
+                   rng.uniform(-0.3, 0.3, Rr),
+                   np.full(Rr, -1.4)], -1).astype(np.float32)
+    rd = np.stack([rng.uniform(-0.1, 0.1, Rr),
+                   rng.uniform(-0.1, 0.1, Rr),
+                   np.ones(Rr)], -1).astype(np.float32)
+    args = (jnp.asarray(ro), jnp.asarray(rd), jnp.zeros(Rr))
+    rcfg = RenderConfig(capacity=64, march_iters=128, samples_per_ray=32)
+
+    ref = render_rays(base_cfg, rcfg, params, bitfield, *args)
+    out = render_rays(st_cfg, rcfg, params, bitfield, *args)
+    for k in ("rgb", "depth", "opacity", "normal_pred", "semantic",
+              "Ro", "Rp", "distortion"):
+        np.testing.assert_allclose(np.asarray(out[k]),
+                                   np.asarray(ref[k]), rtol=2e-4,
+                                   atol=2e-5, err_msg=k)
+
+    def loss(cfg):
+        def f(p):
+            r = render_rays(cfg, rcfg, p, bitfield, *args)
+            return jnp.mean(r["rgb"] ** 2) + jnp.mean(r["Rp"])
+        return f
+
+    g_ref = jax.grad(loss(base_cfg))(params)
+    g_out = jax.grad(loss(st_cfg))(params)
+    for k in ("density_table", "rgb_table"):
+        np.testing.assert_allclose(np.asarray(g_out[k]),
+                                   np.asarray(g_ref[k]), rtol=1e-3,
+                                   atol=1e-7, err_msg=k)
