@@ -136,6 +136,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="global mean-sigma sparsity prior weight "
                              "(carves unsupervised fog; not in the "
                              "reference)")
+    parser.add_argument("--logger", type=str, default="jsonl",
+                        choices=["jsonl", "tb", "wandb", "none"],
+                        help="experiment logger backend "
+                             "(utils/loggers.py; replaces WandbLogger, "
+                             "train.py:419-422)")
     parser.add_argument("--debug_nans", action="store_true", default=False,
                         help="enable jax debug_nans (replaces the "
                              "reference's check_tensor sentinels)")

@@ -503,11 +503,12 @@ class NeRFSystem:
                     raise
                 print(f"native loader unavailable ({e}); numpy sampler")
 
-        metrics_log = None
+        logger = None
         if ckpt_dir and main:
             os.makedirs(ckpt_dir, exist_ok=True)
-            metrics_log = open(os.path.join(ckpt_dir, "metrics.jsonl"),
-                               "a")
+            from ..utils.loggers import make_logger
+            logger = make_logger(getattr(h, "logger", "jsonl"), ckpt_dir,
+                                 getattr(h, "exp_name", "exp"))
         profile_dir = getattr(h, "profile_dir", None)
 
         t0 = time.time()
@@ -530,22 +531,22 @@ class NeRFSystem:
                       f"psnr {float(aux['psnr']):.2f} "
                       f"s/ray {float(aux['s_per_ray']):.1f} "
                       f"rays/s {rays_s:,.0f}")
-                if metrics_log:
-                    import json
-                    metrics_log.write(json.dumps({
-                        "step": step, "loss": float(aux["loss"]),
+                if logger:
+                    logger.log_metrics(step, {
+                        "loss": float(aux["loss"]),
                         "train/psnr": float(aux["psnr"]),
                         "train/s_per_ray": float(aux["s_per_ray"]),
                         "train/rays_per_s": rays_s,
                         "lr": float(self.lr_schedule(step)),
-                    }) + "\n")
-                    metrics_log.flush()
+                    })
             if ckpt_dir and main and step > 0 and step % 10000 == 0:
                 self._dump_val_images(ckpt_dir, step)
             if ckpt_dir and main and (step + 1) % h.steps_per_epoch == 0:
                 self.save(os.path.join(ckpt_dir, "last"))
         if native is not None:
             native.close()
+        if logger:
+            logger.close()
         if ckpt_dir and main:
             self.save(os.path.join(ckpt_dir, "last"))
             save_ckpt(os.path.join(ckpt_dir, "last_slim"),
