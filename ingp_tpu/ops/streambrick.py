@@ -71,6 +71,44 @@ def stream_caps(cfg: BrickGridConfig, tile: int, max_samples: int = 1024,
     return tuple(caps)
 
 
+def group_levels(caps, penalty: int = 32, align: int = 16):
+    """Partition the dedup levels into contiguous groups sharing one
+    (aligned) uniform cap, minimizing total unique slots per tile.
+
+    The fused kernel's expand matmul contracts over the WHOLE unique
+    axis for every cell, so a single call over all levels pays
+    K * sum(U_l) MXU work while each level only references its own U_l
+    slots (~10x waste at the default op-point). Grouping levels of
+    similar cap and invoking the kernel once per group with a uniform
+    cap makes the batch axis (tile, level) and the contraction axis
+    U_group — the block-diagonal structure becomes real work reduction.
+    `penalty` is the per-group overhead expressed in slot units
+    (~kernel launch + grid setup); caps are monotone, so groups are
+    contiguous level ranges and max(caps[i:j]) = caps[j-1].
+
+    Returns [(lo, hi, Ug)] with lo/hi level bounds and Ug the group cap.
+    """
+    Lc = len(caps)
+    if Lc == 0:
+        return []
+    up = lambda c: -(-int(c) // align) * align
+    INF = 1 << 60
+    best = [0] + [INF] * Lc
+    choice = [0] * (Lc + 1)
+    for j in range(1, Lc + 1):
+        for i in range(j):
+            c = best[i] + (j - i) * up(max(caps[i:j])) + penalty
+            if c < best[j]:
+                best[j], choice[j] = c, i
+    groups = []
+    j = Lc
+    while j > 0:
+        i = choice[j]
+        groups.append((i, j, up(max(caps[i:j]))))
+        j = i
+    return groups[::-1]
+
+
 def split_levels(caps, tile: int, direct_frac: float = 0.7) -> int:
     """First level index treated as DIRECT (per-sample gather): levels
     whose cap is within direct_frac of the tile size gain little from
@@ -88,6 +126,106 @@ def _pad_k(k: int) -> int:
     return -(-k // 128) * 128
 
 
+def _unique_plan_uniform(rows, valid, Ug):
+    """Run-dedup plan with ONE uniform cap, batch axis (tile, level).
+
+    rows: (Lg, T, TS) int32 table row ids; valid: (T, TS).
+    Returns uid (T*Lg, TS) local slot ids in [0, Ug) and
+    urows (T*Lg, Ug) table rows per slot — the fused kernel's batch
+    layout with "ray" := (tile, level)."""
+    Lg, T, TS = rows.shape
+    prev = jnp.concatenate([jnp.full((Lg, T, 1), -1, rows.dtype),
+                            rows[:, :, :-1]], axis=2)
+    new = (rows != prev) & valid[None]
+    run = jnp.cumsum(new.astype(jnp.int32), axis=2)         # 1-based
+    uid = jnp.clip(run - 1, 0, Ug - 1)
+    new_eff = new & (run <= Ug)
+    s_iota = jnp.arange(TS, dtype=jnp.int32)[None, None, :]
+    keys = jnp.where(new_eff, s_iota, TS + s_iota)
+    _, packed = jax.lax.sort(
+        (jnp.broadcast_to(keys, rows.shape), rows),
+        dimension=2, num_keys=1)
+    urows = packed[:, :, :Ug]                               # (Lg, T, Ug)
+    uid = jnp.transpose(uid, (1, 0, 2)).reshape(T * Lg, TS)
+    urows = jnp.transpose(urows, (1, 0, 2)).reshape(T * Lg, Ug)
+    return uid, urows
+
+
+def _grouped_mode(cfg, TS, T, jac_lo, jac_hi, with_jac):
+    """(use_grouped, interpret) for the per-group fused kernel path."""
+    import os
+    if os.environ.get("INGP_STREAM_GROUPED", "1") != "1":
+        return False, False
+    from .pallas.rayreduce_pallas import rayreduce_supported
+    from .pallas.brickreduce_pallas import pallas_supported
+    # T % 8 guarantees (T * Lg) % RAY_TILE == 0 for any group size
+    if not (rayreduce_supported(cfg.brick_size, cfg.n_features,
+                                cfg.row_width, jac_lo, jac_hi, TS, 8,
+                                with_jac)
+            and TS % 128 == 0 and T % 8 == 0):
+        return False, False
+    if pallas_supported():
+        return True, False
+    if os.environ.get("INGP_STREAM_GROUPED_INTERPRET", "0") == "1":
+        return True, True
+    return False, False
+
+
+def _dedup_grouped(cfg, table, storage, rows_c, loc4, frc4, caps_c,
+                   T, TS, jac_lo, jac_hi, with_jac, interpret):
+    """Per-group fused expand+reduce: one kernel call per level group,
+    batch axis (tile, level), contraction axis the GROUP cap — the
+    block-diagonal expand becomes real FLOP reduction (see
+    group_levels). K = TS per call means the backward runs single-slab:
+    dG is written once at storage dtype with no cross-slab f32
+    accumulation.
+
+    loc4/frc4: (3, Lc, T, TS). Returns (feats (N, Lc*F), jac or None).
+    """
+    from .pallas.rayreduce_pallas import fused_ray_reduce
+    import os
+    F = cfg.n_features
+    Fj = (F if jac_hi is None else jac_hi) - jac_lo
+    N = T * TS
+    ones = jnp.ones((T, TS), bool)
+    keep = os.environ.get("INGP_GATHER_KEEP_DTYPE", "1") == "1"
+    feats_parts, jac_parts = [], []
+    for lo, hi, Ug in group_levels(caps_c):
+        Lg = hi - lo
+        uid, urows = _unique_plan_uniform(rows_c[lo:hi], ones, Ug)
+        uid = checkpoint_name(uid, "raybrick_uid")
+        urows = checkpoint_name(urows, "raybrick_urows")
+        g_u = table_gather(table, urows.reshape(-1), axis=0,
+                           storage=storage, keep_storage_dtype=keep
+                           ).reshape(T * Lg, Ug, -1)
+
+        def to_b(a):                    # (3, Lg, T, TS) -> (3, T*Lg, TS)
+            return jnp.transpose(a, (0, 2, 1, 3)).reshape(3, T * Lg, TS)
+        sc = jnp.asarray(cfg.scales[lo:hi], jnp.float32)
+        sc_plane = jnp.broadcast_to(sc[None, :, None], (T, Lg, TS)
+                                    ).reshape(1, T * Lg, TS)
+        lf = jnp.concatenate([
+            to_b(loc4[:, lo:hi].astype(jnp.float32)),
+            to_b(frc4[:, lo:hi]), sc_plane,
+            jnp.zeros((1, T * Lg, TS), jnp.float32)], axis=0)
+
+        feats_cm, jac_cm = fused_ray_reduce(g_u, uid, lf, F, with_jac,
+                                            jac_lo, jac_hi, interpret)
+        feats_parts.append(jnp.transpose(
+            feats_cm.reshape(F, T, Lg, TS), (1, 3, 2, 0)
+            ).reshape(N, Lg * F))
+        if with_jac:
+            jac_parts.append(jnp.transpose(
+                jac_cm.reshape(3, Fj, T, Lg, TS), (0, 2, 4, 3, 1)
+                ).reshape(3, N, Lg * Fj))
+    feats = checkpoint_name(jnp.concatenate(feats_parts, axis=1),
+                            "brick_feats")
+    if not with_jac:
+        return feats, None
+    return feats, checkpoint_name(jnp.concatenate(jac_parts, axis=2),
+                                  "brick_jac")
+
+
 def _dedup_feats(cfg, table, storage, rows_c, local_c, frac_c, caps_c,
                  T, TS, jac_lo, jac_hi, with_jac):
     """Dedup-level half: plan -> unique gather -> expand/reduce.
@@ -101,6 +239,13 @@ def _dedup_feats(cfg, table, storage, rows_c, local_c, frac_c, caps_c,
     if Lc == 0:
         return (jnp.zeros((N, 0)),
                 jnp.zeros((3, N, 0)) if with_jac else None)
+    grouped, interp = _grouped_mode(cfg, TS, T, jac_lo, jac_hi, with_jac)
+    if grouped:
+        return _dedup_grouped(cfg, table, storage, rows_c,
+                              local_c.reshape(3, Lc, T, TS),
+                              frac_c.reshape(3, Lc, T, TS),
+                              caps_c, T, TS, jac_lo, jac_hi, with_jac,
+                              interp)
     ones = jnp.ones((T, TS), bool)
     uid, urows = _unique_plan(cfg, rows_c, ones, caps_c)
     uid = checkpoint_name(uid, "raybrick_uid")
