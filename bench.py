@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -24,13 +25,35 @@ STEPS_MEASURE = 30
 STEPS_WARMUP = 3
 BATCH = int(os.environ.get("BENCH_BS", "8192"))
 
+_T0 = time.perf_counter()
+
+
+def note(msg):
+    """Progress evidence on stderr: a driver timeout still leaves a
+    readable trail of how far the bench got (round-2 lesson)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def main():
+    # a pre-warmed persistent-cache artifact ships with the repo (the
+    # TPU analog of the reference's precompiled CUDA kernels,
+    # models/csrc/setup.py): point jax's compilation cache at it so the
+    # driver's cold run skips the minutes-long XLA compile. jax also
+    # WRITES new entries there, which is fine — the dir is repo-local.
+    seed = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "xla_cache_seed")
+    if os.path.isdir(seed):
+        os.environ.setdefault("INGP_COMPILE_CACHE_DIR", seed)
+
     import jax
     import jax.numpy as jnp
     from types import SimpleNamespace
     from ingp_tpu.training.trainer import NeRFSystem
     from ingp_tpu.data.synthetic import SyntheticDataset
+
+    note(f"jax ready, backend={jax.default_backend()}, "
+         f"devices={len(jax.devices())}")
 
     h = SimpleNamespace(
         dataset_name="synthetic", root_dir="", split="train",
@@ -49,9 +72,13 @@ def main():
         table_dtype=os.environ.get("BENCH_TABLE_DTYPE", "bfloat16"),
         encode_remat=os.environ.get("BENCH_REMAT", "1") == "1",
         encode_chunk=int(os.environ.get("BENCH_CHUNK", "98304")),
-        ray_dedup=os.environ.get("BENCH_DEDUP", "1") == "1",
+        # stream dedup is the fastest quality-parity-proven path
+        # (PERF_NOTES.md; test_render_stream_matches_plain_compact)
+        # and is the bench default. BENCH_DEDUP=1 selects the older
+        # rectangle-dedup path — stream supersedes it when both are set.
+        ray_dedup=os.environ.get("BENCH_DEDUP", "0") == "1",
         dedup_slack=float(os.environ.get("BENCH_DEDUP_SLACK", "1.5")),
-        stream_dedup=os.environ.get("BENCH_STREAM", "0") == "1",
+        stream_dedup=os.environ.get("BENCH_STREAM", "1") == "1",
         stream_tile=int(os.environ.get("BENCH_STREAM_TILE", "256")),
     )
     tr = SyntheticDataset(split="train", img_size=256, n_train=16)
@@ -60,13 +87,18 @@ def main():
 
     rng = np.random.default_rng(0)
     # settle the occupancy grid + compile everything
-    for _ in range(STEPS_WARMUP):
-        system.training_step(tr.sample_batch(rng, BATCH))
+    note("first training_step (compiles the full train program; minutes "
+         "cold, seconds with a warm persistent cache)")
+    for i in range(STEPS_WARMUP):
+        float(system.training_step(tr.sample_batch(rng, BATCH))["loss"])
+        if i == 0:
+            note("train step compiled + executed")
     for _ in range(16):  # converge grid a bit so s/ray is realistic
         aux = system.training_step(tr.sample_batch(rng, BATCH))
     # force materialization: a host copy cannot lie about completion
     # (block_until_ready alone is unreliable through the axon tunnel)
     float(aux["loss"])
+    note(f"warmup done; measuring {STEPS_MEASURE} steps x {BATCH} rays")
 
     batches = [tr.sample_batch(rng, BATCH) for _ in range(STEPS_MEASURE)]
     t0 = time.perf_counter()
@@ -78,6 +110,7 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_s = STEPS_MEASURE * BATCH / dt
+    note(f"measured {dt:.2f}s -> {rays_per_s:.0f} rays/s")
     print(json.dumps({
         "metric": "train_rays_per_s_per_chip",
         "value": round(rays_per_s, 1),

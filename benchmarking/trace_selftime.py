@@ -31,41 +31,14 @@ def main():
             continue
         by_tid[(ev["pid"], ev.get("tid"))].append(ev)
 
+    # interval math: credit each event its duration minus nested
+    # children's at pop time
     self_ms = defaultdict(float)
     cnt = defaultdict(int)
-    total = 0.0
     for tid, evs in by_tid.items():
         # sort by start asc, duration desc so parents precede children
         evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
-        stack = []  # (end_ts, name, child_time_accum_index)
-        child = []  # accumulated child time per stack slot
-        for ev in evs:
-            ts, dur = ev["ts"], ev.get("dur", 0)
-            while stack and ts >= stack[-1][0] - 1e-9:
-                end, name, _ = stack.pop()
-                c = child.pop()
-                self_ms[name] += 0.0  # already credited at push time
-            if stack:
-                child[-1] += dur
-            stack.append((ts + dur, ev.get("name", "?"), None))
-            child.append(0.0)
-            # credit self time lazily: do it at pop; but simpler — credit
-            # full dur now and subtract children when they are added
-            self_ms[ev.get("name", "?")] += dur / 1e3
-            cnt[ev.get("name", "?")] += 1
-            total += dur / 1e3
-        # pop remaining
-        while stack:
-            stack.pop()
-            child.pop()
-
-    # second pass: subtract child time. Redo with interval math.
-    self_ms = defaultdict(float)
-    cnt = defaultdict(int)
-    total = 0.0
-    for tid, evs in by_tid.items():
-        evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
-        stack = []  # list of [end, name, child_accum]
+        stack = []  # list of [end, name, child_accum, dur]
         def close(upto):
             while stack and stack[-1][0] <= upto + 1e-9:
                 end, name, chld, dur = stack.pop()
@@ -77,7 +50,6 @@ def main():
             close(ts)
             stack.append([ts + dur, ev.get("name", "?"), 0.0, dur])
             cnt[ev.get("name", "?")] += 1
-            total += 0
         close(float("inf"))
     total = sum(self_ms.values())
 

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from ..core.intersect import ray_aabb_intersect
 from ..ops.march import MarchConfig, march_rays_lattice, march_rays_block
-from ..ops.composite import composite_rays, distortion_loss, ref_loss
+from ..ops.composite import (composite_rays, composite_stream,
+                             distortion_loss, ref_loss)
 from ..ops.pack import (
     compact_samples, gather_samples, scatter_back, scatter_back_cm,
     ray_ids_for,
@@ -69,6 +70,21 @@ class RenderConfig:
             scale=model.scale, exp_step_factor=self.exp_step_factor,
             max_samples=self.max_samples, capacity=self.capacity,
             iters=self.march_iters)
+
+
+def _finish_render(model_cfg, render_cfg, params, results, rays_d,
+                   bg_color, skybox_gate, R):
+    """Background compositing (rendering.py:229-240), shared tail."""
+    base_bg = jnp.broadcast_to(bg_color, (R, 3)) if bg_color is not None \
+        else jnp.zeros((R, 3))
+    if render_cfg.use_skybox:
+        sky = ngp_forward_skybox(model_cfg, params, rays_d)
+        rgb_bg = skybox_gate * sky + (1.0 - skybox_gate) * base_bg
+    else:
+        rgb_bg = base_bg
+    results["rgb"] = results["rgb"] \
+        + rgb_bg * (1.0 - results["opacity"][:, None])
+    return results
 
 
 def clamp_near(hits_t):
@@ -185,10 +201,42 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
             model_cfg, params, xyz_cm, dir_cm, embedding_a=emb_k,
             exposure=exposure,
             stop_header_grads=render_cfg.stop_header_grads, stream=True)
-
-        # zero out padding lanes before scattering back
         pad = ~plan.slot_valid
         sigmas_k = jnp.where(pad, 0.0, sigmas_k)
+
+        import os
+        # default-off until the full-featureset NaN interaction is
+        # root-caused (see PERF_NOTES round-3 log)
+        if (not render_cfg.pallas_composite
+                and os.environ.get("INGP_STREAM_COMPOSITE", "0") == "1"):
+            # stream compositing: per-ray scans run directly on the
+            # ray-major compact batch — none of the per-sample channels
+            # round-trips through the (R, S) grid (ops/composite.py
+            # composite_stream)
+            dt_k = gather_samples(deltas, plan)
+            dn = dir_cm / jnp.maximum(
+                jnp.linalg.norm(dir_cm, axis=0, keepdims=True), 1e-6)
+            ori_k = jnp.maximum(jnp.sum(nraw_cm * dn, 0), 0.0) ** 2
+            results = composite_stream(
+                sigmas_k, rgbs_cm, t_k, dt_k,
+                counts=jnp.sum(plan.cell_valid, -1),
+                slot_valid=plan.slot_valid,
+                T_threshold=render_cfg.T_threshold,
+                normals_pred=npred_cm, normals_raw=nraw_cm,
+                sems=sems_cm,
+                normals_diff=(nraw_cm - npred_cm) ** 2,
+                normals_ori=ori_k)
+            results["ts"] = ts
+            results["deltas"] = deltas
+            results["valid"] = plan.cell_valid
+            results["total_samples"] = march["total_samples"]
+            # (R, S)-shaped per-sample views kept for API parity with
+            # the grid paths; DCE'd when nothing consumes them
+            results["sigmas"] = scatter_back(sigmas_k, plan)
+            results["ws"] = scatter_back(results["ws"], plan)
+            return _finish_render(model_cfg, render_cfg, params, results,
+                                  rays_d, bg_color, skybox_gate, R)
+
         sigmas = scatter_back(sigmas_k, plan)
         rgbs = scatter_back_cm(rgbs_cm, plan)              # (3, R, S)
         npred = scatter_back_cm(npred_cm, plan)

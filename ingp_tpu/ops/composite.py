@@ -83,6 +83,135 @@ def composite_rays(sigmas, rgbs, deltas, ts, valid, T_threshold,
     return out
 
 
+def _seg_bounds(counts):
+    """Per-ray segment boundaries in a ray-major compact stream:
+    (starts (R,), ends (R,)) with ends[r] = starts[r] + counts[r]."""
+    ends = jnp.cumsum(counts.astype(jnp.int32))
+    return ends - counts, ends
+
+
+def _seg_sums(cum_c, starts, ends):
+    """Per-segment sums from inclusive channel-major cumsums
+    cum_c (C, K): sum_r = cum[end_r - 1] - cum[start_r - 1]."""
+    z = jnp.zeros(cum_c.shape[:-1] + (1,), cum_c.dtype)
+    cumb = jnp.concatenate([z, cum_c], axis=-1)        # (C, K+1)
+    return (jnp.take(cumb, ends, axis=-1)
+            - jnp.take(cumb, starts, axis=-1))         # (C, R)
+
+
+def _seg_cumsum(q, starts, base_diff):
+    """Segmented inclusive cumsum over a ray-major stream, scatter-free
+    on the sample axis: injecting -(previous segments' running total) at
+    each segment start resets the plain cumsum per segment. base_diff
+    (R,) is each PREVIOUS segment's total (so its prefix sums telescope
+    to the bases); only an (R,)-element scatter-add is needed, never a
+    (K,)-element one (elementwise K-scatters are pathological on TPU,
+    ops/pack.py).
+
+    The stream carries one pad slot: when the budget overflows exactly,
+    empty trailing rays have starts == K, and an OOB scatter would be
+    silently dropped forward but TRANSPOSE to an OOB gather whose
+    fill value is NaN in the backward."""
+    z = jnp.concatenate([q, jnp.zeros((1,), q.dtype)])
+    z = z.at[starts].add(-base_diff)
+    return jnp.cumsum(z, -1)[:-1]
+
+
+def composite_stream(sig_k, rgb_cm, t_k, dt_k, counts, slot_valid,
+                     T_threshold, normals_pred=None, normals_raw=None,
+                     sems=None, normals_diff=None, normals_ori=None):
+    """composite_rays + ref_loss + distortion_loss directly on the
+    ray-major COMPACT stream — the (R, S) round trip (scatter_back of
+    every per-sample channel, then (R, S)-domain scans) disappears.
+
+    The per-ray front-to-back recurrence runs as segmented scans over
+    the (K,) stream: an (R,)-sized reset injection at each ray's first
+    slot turns the plain cumsum into a per-ray cumsum (_seg_cumsum);
+    per-ray reductions are two boundary gathers of a channel-stacked
+    cumsum (_seg_sums). Same math as composite_rays on the scattered
+    grid (volumerendering.cu:66-164 semantics), tested equal.
+
+    Args:
+      sig_k: (K,) sigma per compact slot (zero at padding).
+      rgb_cm: (3, K); t_k, dt_k: (K,) interval start / length.
+      counts: (R,) kept samples per ray (plan.cell_valid.sum(-1)).
+      slot_valid: (K,) bool.
+      normals_diff (3, K) / normals_ori (K,): Ref-NeRF inputs; their
+        composites use stop-gradient weights (rendering.py:248).
+
+    Returns the composite_rays dict (+"Ro"/"Rp"/"distortion" when the
+    ref inputs are given); per-sample "ws" stays in stream form.
+    """
+    R = counts.shape[0]
+    starts, ends = _seg_bounds(counts)
+
+    sd = jnp.where(slot_valid, sig_k * dt_k, 0.0)
+    cum_sd = jnp.cumsum(sd, -1)
+    cumb_sd = jnp.concatenate([jnp.zeros((1,)), cum_sd])
+    seg_tot = (jnp.take(cumb_sd, ends) - jnp.take(cumb_sd, starts))
+    prev_tot = jnp.concatenate([jnp.zeros((1,)), seg_tot[:-1]])
+    sd_seg_inc = _seg_cumsum(sd, starts, prev_tot)
+    Ts = jnp.exp(-(sd_seg_inc - sd))                   # exclusive
+    include = slot_valid & (Ts > T_threshold)
+    alphas = 1.0 - jnp.exp(-sd)
+    ws = jnp.where(include, alphas * Ts, 0.0)
+
+    # one channel-stacked cumsum + two boundary gathers for every
+    # composite output
+    chans = [ws[None], (ws * t_k)[None], include[None].astype(jnp.float32),
+             ws[None] * rgb_cm]
+    names = ["opacity", "depth", "vr", "rgb"]
+    if normals_pred is not None:
+        chans.append(ws[None] * normals_pred)
+        names.append("normal_pred")
+    if normals_raw is not None:
+        chans.append(ws[None] * normals_raw)
+        names.append("normal_raw")
+    if sems is not None:
+        chans.append(ws[None] * sems)
+        names.append("semantic")
+    w_sg = jax.lax.stop_gradient(ws)
+    if normals_diff is not None:
+        chans.append(w_sg[None] * normals_diff)
+        names.append("Rp")
+    if normals_ori is not None:
+        chans.append((w_sg * normals_ori)[None])
+        names.append("Ro")
+    # distortion loss (losses.cu:92-93) from segmented scans of w, w*t
+    wt = ws * t_k
+    cw = jnp.cumsum(ws, -1)
+    cwt = jnp.cumsum(wt, -1)
+    cwb = jnp.concatenate([jnp.zeros((1,)), cw])
+    cwtb = jnp.concatenate([jnp.zeros((1,)), cwt])
+    tot_w = jnp.take(cwb, ends) - jnp.take(cwb, starts)
+    tot_wt = jnp.take(cwtb, ends) - jnp.take(cwtb, starts)
+    ws_in = _seg_cumsum(ws, starts,
+                        jnp.concatenate([jnp.zeros((1,)), tot_w[:-1]]))
+    wts_in = _seg_cumsum(wt, starts,
+                         jnp.concatenate([jnp.zeros((1,)), tot_wt[:-1]]))
+    per_sample = 2.0 * (wts_in * (ws_in - ws) - ws_in * (wts_in - wt)) \
+        + (1.0 / 3.0) * ws * ws * jnp.where(slot_valid, dt_k, 0.0)
+    chans.append(per_sample[None])
+    names.append("distortion")
+
+    stacked = jnp.concatenate(chans, axis=0)           # (C_tot, K)
+    sums = _seg_sums(jnp.cumsum(stacked, -1), starts, ends)
+
+    out = {"ws": ws}
+    ofs = 0
+    for name, ch in zip(names, chans):
+        c = ch.shape[0]
+        v = sums[ofs:ofs + c]
+        ofs += c
+        if name in ("opacity", "depth", "Ro", "distortion"):
+            out[name] = v[0]
+        elif name == "vr":
+            out["vr_samples"] = v[0].astype(jnp.int32)
+        else:
+            out[name] = v.T                            # (R, C)
+    return out
+
+
 def distortion_loss(ws, deltas, ts, valid):
     """Mip-NeRF-360 distortion loss per ray (losses.cu:92-93 math).
 

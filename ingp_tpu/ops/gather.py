@@ -73,6 +73,60 @@ def _gather_bwd(axis, keep_storage_dtype, res, ct):
 _gather.defvjp(_gather_fwd, _gather_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_multi(master, storage, rows_tuple, keep_flags):
+    del master
+    outs = []
+    for rows, keep in zip(rows_tuple, keep_flags):
+        out = _take_ib(storage, rows, 0)
+        # the f32 convert fuses into the gather's output write; an
+        # astype on the result would materialize an extra full pass
+        outs.append(out if keep else out.astype(jnp.float32))
+    return tuple(outs)
+
+
+def _gather_multi_fwd(master, storage, rows_tuple, keep_flags):
+    outs = _gather_multi(master, storage, rows_tuple, keep_flags)
+    return outs, (rows_tuple, master, storage)
+
+
+def _gather_multi_bwd(keep_flags, res, cts):
+    rows_tuple, master, storage = res
+    # ONE accumulator, chained in-place scatter-adds: k separate
+    # gathers differentiated by AD would each materialize a zeros
+    # table + scatter, then add_any-combine k full tables (measured
+    # ~16 ms/step of pure full-table passes at the bench op-point);
+    # the chain is k scatters into a single zeros buffer.
+    g = jnp.zeros(master.shape, master.dtype)
+    for rows, ct in zip(rows_tuple, cts):
+        g = g.at[rows].add(ct.astype(master.dtype),
+                           mode="promise_in_bounds")
+    return (g, jnp.zeros(storage.shape, storage.dtype),
+            tuple(np.zeros(np.shape(r), jax.dtypes.float0)
+                  for r in rows_tuple))
+
+
+_gather_multi.defvjp(_gather_multi_fwd, _gather_multi_bwd)
+
+
+def table_gather_multi(table, rows_list, storage=None,
+                       keep_storage_dtype=False):
+    """Gather several index vectors from ONE table with a fused
+    backward: a single zeros accumulator receives every cotangent via
+    chained in-place scatter-adds (axis 0 only).
+
+    Returns a tuple of gathered blocks, one per rows_list entry, each
+    at f32 (or the storage dtype where keep_storage_dtype — a bool or
+    a per-entry sequence of bools)."""
+    st = storage if storage is not None \
+        else jax.lax.stop_gradient(table)
+    if isinstance(keep_storage_dtype, bool):
+        keep_storage_dtype = [keep_storage_dtype] * len(rows_list)
+    keeps = tuple(bool(k) and st.dtype != jnp.float32
+                  for k in keep_storage_dtype)
+    return _gather_multi(table, st, tuple(rows_list), keeps)
+
+
 def storage_cast(table, storage_dtype=None):
     """Low-precision read copy of a master table, or None if the table
     is already stored at (or below) the requested precision."""

@@ -45,7 +45,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 from .brickgrid import (BrickGridConfig, brick_coords, reduce_feats,
                         reduce_feats_jac)
-from .gather import storage_cast, table_gather
+from .gather import storage_cast, table_gather, table_gather_multi
 from .raybrick import _unique_plan, _expand_unique, _SAVE_PLAN
 
 SQRT3 = float(np.sqrt(3.0))
@@ -94,17 +94,18 @@ def group_levels(caps, penalty: int = 32, align: int = 16):
     up = lambda c: -(-int(c) // align) * align
     INF = 1 << 60
     best = [0] + [INF] * Lc
-    choice = [0] * (Lc + 1)
+    choice = [(0, 0)] * (Lc + 1)
     for j in range(1, Lc + 1):
         for i in range(j):
-            c = best[i] + (j - i) * up(max(caps[i:j])) + penalty
+            ug = up(caps[j - 1])        # caps monotone: max(caps[i:j])
+            c = best[i] + (j - i) * ug + penalty
             if c < best[j]:
-                best[j], choice[j] = c, i
+                best[j], choice[j] = c, (i, ug)
     groups = []
     j = Lc
     while j > 0:
-        i = choice[j]
-        groups.append((i, j, up(max(caps[i:j]))))
+        i, ug = choice[j]
+        groups.append((i, j, ug))
         j = i
     return groups[::-1]
 
@@ -124,6 +125,14 @@ def _pad_k(k: int) -> int:
     """Pad the kernel's cell axis up to a 128 multiple (lane alignment;
     rayreduce's k-slab needs a 128-multiple divisor)."""
     return -(-k // 128) * 128
+
+
+def _single_pad(tile: int, chunk: int) -> int:
+    """Single-chunk pad target: 8 tiles when the chunk size is a
+    multiple of it (so the padded stream can never spill past one
+    chunk), making T % 8 == 0 and the grouped fused-kernel path apply
+    to small/tail batches too (the zero-pad tail dedups to one run)."""
+    return 8 * tile if chunk % (8 * tile) == 0 else tile
 
 
 def _unique_plan_uniform(rows, valid, Ug):
@@ -171,8 +180,20 @@ def _grouped_mode(cfg, TS, T, jac_lo, jac_hi, with_jac):
     return False, False
 
 
-def _dedup_grouped(cfg, table, storage, rows_c, loc4, frc4, caps_c,
-                   T, TS, jac_lo, jac_hi, with_jac, interpret):
+def _plan_groups(caps_c, rows_c, T, TS):
+    """Dedup plans for every level group: [(lo, hi, Ug, uid, urows)]."""
+    ones = jnp.ones((T, TS), bool)
+    plans = []
+    for lo, hi, Ug in group_levels(caps_c):
+        uid, urows = _unique_plan_uniform(rows_c[lo:hi], ones, Ug)
+        plans.append((lo, hi, Ug,
+                      checkpoint_name(uid, "raybrick_uid"),
+                      checkpoint_name(urows, "raybrick_urows")))
+    return plans
+
+
+def _grouped_reduce(cfg, plans, g_list, loc4, frc4, T, TS, jac_lo,
+                    jac_hi, with_jac, interpret):
     """Per-group fused expand+reduce: one kernel call per level group,
     batch axis (tile, level), contraction axis the GROUP cap — the
     block-diagonal expand becomes real FLOP reduction (see
@@ -180,24 +201,18 @@ def _dedup_grouped(cfg, table, storage, rows_c, loc4, frc4, caps_c,
     dG is written once at storage dtype with no cross-slab f32
     accumulation.
 
-    loc4/frc4: (3, Lc, T, TS). Returns (feats (N, Lc*F), jac or None).
+    plans from _plan_groups; g_list the matching gathered blocks
+    (flat (T*Lg*Ug, W)); loc4/frc4: (3, Lc, T, TS).
+    Returns (feats (N, Lc*F), jac or None).
     """
     from .pallas.rayreduce_pallas import fused_ray_reduce
-    import os
     F = cfg.n_features
     Fj = (F if jac_hi is None else jac_hi) - jac_lo
     N = T * TS
-    ones = jnp.ones((T, TS), bool)
-    keep = os.environ.get("INGP_GATHER_KEEP_DTYPE", "1") == "1"
     feats_parts, jac_parts = [], []
-    for lo, hi, Ug in group_levels(caps_c):
+    for (lo, hi, Ug, uid, _), g_u in zip(plans, g_list):
         Lg = hi - lo
-        uid, urows = _unique_plan_uniform(rows_c[lo:hi], ones, Ug)
-        uid = checkpoint_name(uid, "raybrick_uid")
-        urows = checkpoint_name(urows, "raybrick_urows")
-        g_u = table_gather(table, urows.reshape(-1), axis=0,
-                           storage=storage, keep_storage_dtype=keep
-                           ).reshape(T * Lg, Ug, -1)
+        g_u = g_u.reshape(T * Lg, Ug, -1)
 
         def to_b(a):                    # (3, Lg, T, TS) -> (3, T*Lg, TS)
             return jnp.transpose(a, (0, 2, 1, 3)).reshape(3, T * Lg, TS)
@@ -239,13 +254,6 @@ def _dedup_feats(cfg, table, storage, rows_c, local_c, frac_c, caps_c,
     if Lc == 0:
         return (jnp.zeros((N, 0)),
                 jnp.zeros((3, N, 0)) if with_jac else None)
-    grouped, interp = _grouped_mode(cfg, TS, T, jac_lo, jac_hi, with_jac)
-    if grouped:
-        return _dedup_grouped(cfg, table, storage, rows_c,
-                              local_c.reshape(3, Lc, T, TS),
-                              frac_c.reshape(3, Lc, T, TS),
-                              caps_c, T, TS, jac_lo, jac_hi, with_jac,
-                              interp)
     ones = jnp.ones((T, TS), bool)
     uid, urows = _unique_plan(cfg, rows_c, ones, caps_c)
     uid = checkpoint_name(uid, "raybrick_uid")
@@ -331,13 +339,66 @@ def _try_kernel(cfg, g_u, uid, local_c, frac_c, T, TS, Lc, jac_lo,
     return feats, checkpoint_name(jac, "brick_jac")
 
 
+def _direct_reduce(cfg, g_d, local, frac, Lc, N, jac_lo, jac_hi,
+                   with_jac):
+    """Direct (fine-level) half: per-sample rows through the shared
+    trilerp reducers, level window [Lc, L)."""
+    L = cfg.n_levels
+    if with_jac:
+        return reduce_feats_jac(cfg, g_d, local[:, Lc:], frac[:, Lc:],
+                                N, jac_lo, jac_hi, level_lo=Lc,
+                                level_hi=L)
+    return (reduce_feats(cfg, g_d, local[:, Lc:], frac[:, Lc:], N,
+                         level_lo=Lc, level_hi=L), None)
+
+
 def _encode_chunk_stream(cfg, table, storage, caps, Lc, TS, xT,
                          jac_lo, jac_hi, with_jac):
-    """One chunk: xT (3, Nc) ray-contiguous positions, Nc = T*TS."""
+    """One chunk: xT (3, Nc) ray-contiguous positions, Nc = T*TS.
+
+    Production (grouped) path: every gather of the chunk — one per
+    level group plus the direct fine-level block — rides ONE
+    table_gather_multi call, so the backward runs a single chain of
+    in-place scatter-adds into one accumulator instead of per-gather
+    zero tables combined by full-table add passes (ops/gather.py).
+    """
+    import os
     N = xT.shape[1]
     T = N // TS
     L, F = cfg.n_levels, cfg.n_features
     rows, local, frac = brick_coords(cfg, xT)               # (L, N) ...
+
+    grouped, interp = (_grouped_mode(cfg, TS, T, jac_lo, jac_hi,
+                                     with_jac) if Lc > 0
+                       else (False, False))
+    if grouped:
+        keep = os.environ.get("INGP_GATHER_KEEP_DTYPE", "1") == "1"
+        rows_c = rows[:Lc].reshape(Lc, T, TS)
+        plans = _plan_groups(caps[:Lc], rows_c, T, TS)
+        idx_list = [p[4].reshape(-1) for p in plans]
+        keeps = [keep] * len(plans)
+        if Lc < L:
+            idx_list.append(rows[Lc:].reshape(-1))
+            # direct block stays at storage dtype too: the reduce dot
+            # fusions upconvert on the fly, so the (Ld*N, W) block is
+            # written and re-read at half the bytes
+            keeps.append(keep)
+        g_list = table_gather_multi(table, idx_list, storage=storage,
+                                    keep_storage_dtype=keeps)
+        feats_c, jac_c = _grouped_reduce(
+            cfg, plans, g_list, local[:, :Lc].reshape(3, Lc, T, TS),
+            frac[:, :Lc].reshape(3, Lc, T, TS), T, TS, jac_lo, jac_hi,
+            with_jac, interp)
+        if Lc < L:
+            feats_d, jac_d = _direct_reduce(
+                cfg, g_list[-1], local, frac, Lc,
+                N, jac_lo, jac_hi, with_jac)
+            feats = jnp.concatenate([feats_c, feats_d], axis=1)
+            jac = jnp.concatenate([jac_c, jac_d], axis=2) if with_jac \
+                else None
+        else:
+            feats, jac = feats_c, jac_c
+        return (feats, jac) if with_jac else feats
 
     feats_c, jac_c = _dedup_feats(
         cfg, table, storage, rows[:Lc].reshape(Lc, T, TS),
@@ -348,16 +409,8 @@ def _encode_chunk_stream(cfg, table, storage, caps, Lc, TS, xT,
         # direct half: per-sample gather, shared reducers
         g_d = table_gather(table, rows[Lc:].reshape(-1), axis=0,
                            storage=storage)                 # (Ld*N, W)
-        loc_d = local[:, Lc:]
-        frc_d = frac[:, Lc:]
-        if with_jac:
-            feats_d, jac_d = reduce_feats_jac(
-                cfg, g_d, loc_d, frc_d, N, jac_lo, jac_hi,
-                level_lo=Lc, level_hi=L)
-        else:
-            feats_d = reduce_feats(cfg, g_d, loc_d, frc_d, N,
-                                   level_lo=Lc, level_hi=L)
-            jac_d = None
+        feats_d, jac_d = _direct_reduce(cfg, g_d, local, frac, Lc, N,
+                                        jac_lo, jac_hi, with_jac)
         feats = jnp.concatenate([feats_c, feats_d], axis=1)
         jac = jnp.concatenate([jac_c, jac_d], axis=2) if with_jac \
             else None
@@ -380,7 +433,7 @@ def streambrick_encode(cfg: BrickGridConfig, table, x_cm,
     N = x.shape[1]
     caps = stream_caps(cfg, tile, slack=slack, seg_est=seg_est)
     Lc = split_levels(caps, tile)
-    pad = (-N) % (chunk if N > chunk else tile)
+    pad = (-N) % (chunk if N > chunk else _single_pad(tile, chunk))
     xp = jnp.pad(x, ((0, 0), (0, pad)))
     if xp.shape[1] > chunk:
         body = lambda c: _encode_chunk_stream(
@@ -413,7 +466,7 @@ def streambrick_encode_grad(cfg: BrickGridConfig, table, x_cm,
     N = x.shape[1]
     caps = stream_caps(cfg, tile, slack=slack, seg_est=seg_est)
     Lc = split_levels(caps, tile)
-    pad = (-N) % (chunk if N > chunk else tile)
+    pad = (-N) % (chunk if N > chunk else _single_pad(tile, chunk))
     xp = jnp.pad(x, ((0, 0), (0, pad)))
     if xp.shape[1] > chunk:
         body = lambda c: _encode_chunk_stream(

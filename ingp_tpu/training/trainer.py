@@ -33,7 +33,8 @@ from ..grid.occupancy import (grid_init, mark_invisible_cells,
                               update_density_grid)
 from .losses import LossConfig, compute_losses, total_loss
 from .metrics import psnr, ssim
-from ..utils.ckpt import save_ckpt, load_ckpt, slim_state
+from ..utils.ckpt import (save_ckpt, load_ckpt, slim_state,
+                          AsyncCkptManager)
 
 REAL_DATASETS = ("colmap", "nerfpp", "tnt", "kitti", "mega", "highbay")
 
@@ -74,8 +75,12 @@ def render_config_from_hparams(h, test=False) -> RenderConfig:
     # compact path (see RenderConfig). Requires the brick/fused encoder
     # and a constant-dt lattice (exp_step 0, where the run-cap
     # calibration holds).
+    # stream_dedup (the compact-stream dedup encoder) supersedes the
+    # rectangle path: when both flags are set, the stream path wins —
+    # it is quality-parity proven and strictly faster (PERF_NOTES.md).
     ray_dedup = (getattr(h, "ray_dedup", False) and exp_step == 0.0
                  and not test   # test path keeps the two-phase renderer
+                 and not getattr(h, "stream_dedup", False)
                  and getattr(h, "encoder", "hash") in ("brick", "fused"))
     spr = getattr(h, "samples_per_ray", 48)
     return RenderConfig(
@@ -504,11 +509,22 @@ class NeRFSystem:
                 print(f"native loader unavailable ({e}); numpy sampler")
 
         logger = None
+        ckpt_mgr = None
         if ckpt_dir and main:
             os.makedirs(ckpt_dir, exist_ok=True)
             from ..utils.loggers import make_logger
             logger = make_logger(getattr(h, "logger", "jsonl"), ckpt_dir,
                                  getattr(h, "exp_name", "exp"))
+            # async epoch checkpoints + preemption recovery: resume from
+            # the latest committed step when fit() starts cold on an
+            # existing run directory (SURVEY.md §5)
+            ckpt_mgr = AsyncCkptManager(os.path.join(ckpt_dir, "steps"))
+            latest = ckpt_mgr.latest_step()
+            if (latest is not None and self.global_step == 0
+                    and not getattr(h, "no_resume", False)):
+                self.load_state(ckpt_mgr.restore(latest))
+                print(f"resumed from {ckpt_dir}/steps @ step "
+                      f"{self.global_step}")
         profile_dir = getattr(h, "profile_dir", None)
 
         t0 = time.time()
@@ -541,12 +557,15 @@ class NeRFSystem:
                     })
             if ckpt_dir and main and step > 0 and step % 10000 == 0:
                 self._dump_val_images(ckpt_dir, step)
-            if ckpt_dir and main and (step + 1) % h.steps_per_epoch == 0:
-                self.save(os.path.join(ckpt_dir, "last"))
+            if ckpt_mgr and (step + 1) % h.steps_per_epoch == 0:
+                # non-blocking: serialization overlaps the next steps
+                ckpt_mgr.save(step + 1, self.state())
         if native is not None:
             native.close()
         if logger:
             logger.close()
+        if ckpt_mgr:
+            ckpt_mgr.close()
         if ckpt_dir and main:
             self.save(os.path.join(ckpt_dir, "last"))
             save_ckpt(os.path.join(ckpt_dir, "last_slim"),
@@ -589,7 +608,9 @@ class NeRFSystem:
         save_ckpt(path, self.state())
 
     def load(self, path):
-        state = load_ckpt(path)
+        self.load_state(load_ckpt(path))
+
+    def load_state(self, state):
         # prefix-filtered warm start (utils.py:7-29): tolerate slim ckpts
         params = state["params"]
         for k in list(self.params.keys()):

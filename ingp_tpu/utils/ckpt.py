@@ -4,6 +4,15 @@ Full checkpoints carry {params, opt_state, grid, step}; `slim_state`
 mirrors slim_ckpt (utils.py:32-42): model weights only, grids and
 optimizer state dropped (the density grid re-warms on load, exactly like
 the reference's behavior for slim ckpts, SURVEY.md §3.5).
+
+`AsyncCkptManager` is the TPU-native upgrade the reference lacks
+(SURVEY.md §5 failure-recovery row): periodic saves run in a background
+thread (training continues while bytes hit disk), each step's
+checkpoint commits atomically into its own step directory, old steps
+are garbage-collected, and `latest_step()` enables restore-on-start
+after a preemption — a kill at ANY moment leaves the newest committed
+checkpoint intact (unlike force-overwriting a single path, which
+deletes the old checkpoint before the new one is durable).
 """
 from __future__ import annotations
 
@@ -16,6 +25,46 @@ def save_ckpt(path, state):
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
+
+
+class AsyncCkptManager:
+    """Async step-directory checkpointing with retention + auto-resume.
+
+    save() returns as soon as the on-device state is snapshotted; the
+    serialization/commit runs in orbax's background thread (a second
+    save waits for the first to commit). Directories are atomic: a
+    step appears under `root` only after its write fully committed.
+    """
+
+    def __init__(self, root, max_to_keep: int = 2):
+        self.root = os.path.abspath(root)
+        self._mgr = ocp.CheckpointManager(
+            self.root,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                create=True,
+                enable_async_checkpointing=True,
+            ))
+
+    def save(self, step: int, state) -> None:
+        self._mgr.save(step, args=ocp.args.PyTreeSave(state))
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def restore(self, step: int | None = None):
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(step)
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._mgr.close()
 
 
 def load_ckpt(path, target=None):

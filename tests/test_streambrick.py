@@ -3,13 +3,15 @@ encoder — values must be exact wherever no tile cap overflows."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from ingp_tpu.ops.brickgrid import (BrickGridConfig, brickgrid_init,
                                     brickgrid_encode,
                                     brickgrid_encode_grad)
 from ingp_tpu.ops.streambrick import (streambrick_encode,
                                       streambrick_encode_grad,
-                                      stream_caps, split_levels)
+                                      stream_caps, split_levels,
+                                      group_levels, _unique_plan_uniform)
 
 CFG = BrickGridConfig(n_levels=8, n_features=4, log2_bricks=10,
                       base_resolution=16, per_level_scale=1.45)
@@ -111,6 +113,81 @@ def test_random_points_overflow_graceful():
     g = jax.grad(lambda t: jnp.sum(
         streambrick_encode(CFG, t, x, tile=128) ** 2))(table)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_group_levels_partition():
+    """Groups are contiguous, cover [0, Lc), caps aligned and >= the
+    group max (caps monotone, the documented precondition)."""
+    caps = (4, 6, 11, 30, 60, 120, 250, 256)
+    groups = group_levels(caps, align=16)
+    assert groups[0][0] == 0 and groups[-1][1] == len(caps)
+    for (a, b, ug), (a2, b2, _) in zip(groups, groups[1:]):
+        assert b == a2
+    for lo, hi, ug in groups:
+        assert ug % 16 == 0
+        assert ug >= max(caps[lo:hi])
+        assert ug < max(caps[lo:hi]) + 16
+    assert group_levels(()) == []
+    assert group_levels((5,)) == [(0, 1, 16)]
+
+
+def test_unique_plan_uniform():
+    rows = jnp.asarray([[[5, 5, 7, 7, 7, 2, 9, 9]]], jnp.int32)
+    valid = jnp.ones((1, 8), bool)
+    uid, urows = _unique_plan_uniform(rows, valid, 4)
+    np.testing.assert_array_equal(np.asarray(uid[0]),
+                                  [0, 0, 1, 1, 1, 2, 3, 3])
+    np.testing.assert_array_equal(np.asarray(urows[0]), [5, 7, 2, 9])
+    # overflow: runs past the cap clamp onto the last slot
+    uid2, urows2 = _unique_plan_uniform(rows, valid, 3)
+    np.testing.assert_array_equal(np.asarray(uid2[0]),
+                                  [0, 0, 1, 1, 1, 2, 2, 2])
+    np.testing.assert_array_equal(np.asarray(urows2[0]), [5, 7, 2])
+
+
+def _clear_stream_caches():
+    # _grouped_mode reads env at trace time; same-signature calls would
+    # otherwise hit the jit cache from the other mode
+    streambrick_encode.clear_cache()
+    streambrick_encode_grad.clear_cache()
+
+
+def test_grouped_interpret_matches_ungrouped(monkeypatch):
+    """The grouped fused-kernel path (the default on real TPU) vs the
+    ungrouped XLA fallback, exercised on CPU via the Pallas interpreter
+    at a production-like tile shape (TS=256, T%8==0 after padding)."""
+    key = jax.random.PRNGKey(20)
+    table = brickgrid_init(key, CFG)
+    x = ray_stream(jax.random.PRNGKey(21), n_rays=96)
+    wf = jax.random.normal(jax.random.PRNGKey(22),
+                           (x.shape[1], CFG.out_dim))
+
+    def run():
+        _clear_stream_caches()
+        f, j = streambrick_encode_grad(CFG, table, x, tile=256)
+        g = jax.grad(lambda t: jnp.sum(
+            streambrick_encode(CFG, t, x, tile=256) * wf))(table)
+        return f, j, g
+
+    monkeypatch.setenv("INGP_STREAM_GROUPED", "0")
+    f_ref, j_ref, g_ref = run()
+    monkeypatch.setenv("INGP_STREAM_GROUPED", "1")
+    monkeypatch.setenv("INGP_STREAM_GROUPED_INTERPRET", "1")
+    f, j, g = run()
+    _clear_stream_caches()
+
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-7)
+    # and against the per-sample reference encoder
+    f_ps, j_ps = brickgrid_encode_grad(CFG, table, x, x_cm=True)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ps),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_ps),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_render_stream_matches_plain_compact():
