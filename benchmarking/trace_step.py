@@ -46,10 +46,12 @@ def main():
         encoder=os.environ.get("BENCH_ENCODER", "brick"),
         table_dtype=os.environ.get("BENCH_TABLE_DTYPE", "bfloat16"),
         encode_remat=os.environ.get("BENCH_REMAT", "1") == "1",
-        encode_chunk=int(os.environ.get("BENCH_CHUNK", "98304")),
+        encode_chunk=int(os.environ.get("BENCH_CHUNK", "196608")),
         ray_dedup=os.environ.get("BENCH_DEDUP", "0") == "1",
         stream_dedup=os.environ.get("BENCH_STREAM", "1") == "1",
         stream_tile=int(os.environ.get("BENCH_STREAM_TILE", "256")),
+        stream_direct_frac=float(os.environ.get("BENCH_DIRECT_FRAC",
+                                                "0.0")),
         dedup_slack=float(os.environ.get("BENCH_DEDUP_SLACK", "1.5")),
     )
     tr = SyntheticDataset(split="train", img_size=256, n_train=16)

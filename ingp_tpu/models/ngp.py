@@ -87,7 +87,17 @@ class NGPConfig:
     stream_dedup: bool = False
     stream_tile: int = 256          # samples per dedup tile
     stream_slack: float = 1.5       # run-cap headroom (stream_caps)
-    stream_seg: int = 12            # shortest typical per-ray segment
+    # fraction of the tile size above which a level's cap makes it
+    # DIRECT (per-sample gather). 0.0 = all levels direct: per-sample
+    # exact (no dedup caps anywhere) while keeping the stream path's
+    # single multi-gather/scatter-chain plumbing — the quality-safe
+    # mode (see PERF_NOTES round-3: the dedup'd stream showed a ~6 dB
+    # novel-view deficit at 600 steps that the exactness tests at high
+    # slack cannot see)
+    stream_direct_frac: float = 0.7
+    stream_seg: int = 8             # shortest typical per-ray segment
+    #                                 (converged scenes shorten segments;
+    #                                 overflow degrades to zero features)
 
     @property
     def cascades(self) -> int:
@@ -224,7 +234,8 @@ def _brick_encode(cfg: NGPConfig, bcfg, table, u, x_cm, stream):
             bcfg, table, u if x_cm else u.T, tile=cfg.stream_tile,
             chunk=cfg.encode_chunk, remat=cfg.encode_remat,
             storage_dtype=sd, slack=cfg.stream_slack,
-            seg_est=cfg.stream_seg)
+            seg_est=cfg.stream_seg,
+            direct_frac=cfg.stream_direct_frac)
     return brickgrid_encode(bcfg, table, u, remat=cfg.encode_remat,
                             chunk=cfg.encode_chunk, storage_dtype=sd,
                             x_cm=x_cm)
@@ -307,7 +318,8 @@ def ngp_grad_cm(cfg: NGPConfig, params, x_cm, stream=False):
                 bcfg, table, u, tile=cfg.stream_tile,
                 chunk=cfg.encode_chunk, remat=cfg.encode_remat,
                 jac_lo=jac_lo, jac_hi=jac_hi, storage_dtype=sd,
-                slack=cfg.stream_slack, seg_est=cfg.stream_seg)
+                slack=cfg.stream_slack, seg_est=cfg.stream_seg,
+                direct_frac=cfg.stream_direct_frac)
         from ..ops.brickgrid import brickgrid_encode_grad
         return brickgrid_encode_grad(
             bcfg, table, u, remat=cfg.encode_remat,

@@ -205,8 +205,13 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
         sigmas_k = jnp.where(pad, 0.0, sigmas_k)
 
         import os
-        # default-off until the full-featureset NaN interaction is
-        # root-caused (see PERF_NOTES round-3 log)
+        # default-off: value/grad-parity proven on CPU shapes
+        # (test_composite_stream_matches_grid), but at K ~ 2e5 the
+        # segmented scans ride on a GLOBAL f32 cumsum whose magnitude
+        # reaches the accumulated sigma*dt of the whole batch — the
+        # per-sample low bits cancel away and 600-step TPU training
+        # diverged (PERF_NOTES round-3). Needs a two-level (block-local
+        # + offset) scan before it can ship.
         if (not render_cfg.pallas_composite
                 and os.environ.get("INGP_STREAM_COMPOSITE", "0") == "1"):
             # stream compositing: per-ray scans run directly on the

@@ -75,8 +75,11 @@ def rayreduce_supported(brick_size: int, n_features: int, row_width: int,
             and _pick_kslab(K) > 0 and R % RAY_TILE == 0)
 
 
-def _weights(lf, W, F):
-    li, lj, lk, lane_f = _lane_coords(W, F)
+def _weights(lf, lanes):
+    """lanes: precomputed (li, lj, lk, lane_f) — constant per kernel,
+    hoisted out of the per-ray loop (recomputing the iota+compares per
+    ray measured as real VPU time at stream-path grid sizes)."""
+    li, lj, lk, lane_f = lanes
     wx, dwx = _axis_w(li, lf[0][:, None], lf[3][:, None])
     wy, dwy = _axis_w(lj, lf[1][:, None], lf[4][:, None])
     wz, dwz = _axis_w(lk, lf[2][:, None], lf[5][:, None])
@@ -92,36 +95,42 @@ def _fwd_kernel(F, Fj, U, with_jac, G_ref, uid_ref, lf_ref, sel_ref,
                 feats_ref, *jac_ref):
     W = G_ref.shape[-1]
     TR, KS = uid_ref.shape
-    # sel stacks the feats select (W, F) with the jacobian-window select
-    # (W, Fj) so partial-jac configs (the fused density|rgb table only
-    # differentiates the density features) reduce only their window
-    sel = sel_ref[..., 0:F]
-    selj = sel_ref[..., F:] if with_jac else None
+    # sel is (W, F) for the no-jac path; for with_jac it is the
+    # block-diagonal (F + 3Fj, 4W) transpose-select so ONE K=4W MXU dot
+    # produces feats and all three jacobian groups (small-K dots ran at
+    # a fraction of MXU depth)
     # run the expansion matmul at the table's storage precision: the
     # one-hot is exact in bf16 and the rows ARE bf16 data, so a bf16
     # MXU pass (full rate, vs the multi-pass f32 emulation) reproduces
     # the f32 expansion bit-for-bit; accumulation stays f32.
     mm_dt = G_ref.dtype
     u_iota = jax.lax.broadcasted_iota(jnp.int32, (KS, U), 1)
+    lanes = _lane_coords(W, F)
     for r in range(TR):
         oh = (uid_ref[r][:, None] == u_iota).astype(mm_dt)
         g = jax.lax.dot_general(
             oh, G_ref[r], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (KS, W)
         lf = lf_ref[:, r, :]                               # (8, KS)
-        wx, wy, wz, dwx, dwy, dwz, sc, _, _ = _weights(lf, W, F)
+        wx, wy, wz, dwx, dwy, dwz, sc, _, _ = _weights(lf, lanes)
 
-        def red(Smat, wprod):
-            return jax.lax.dot_general(
-                Smat, g * wprod, (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (Fo, KS)
-
-        feats_ref[:, r, :] = red(sel, wx * wy * wz)
         if with_jac:
+            p_yz = wy * wz
+            big = jnp.concatenate(
+                [g * (wx * p_yz), g * (dwx * p_yz),
+                 g * (dwy * (wx * wz)), g * (dwz * (wx * wy))],
+                axis=1)                                    # (KS, 4W)
+            out = jax.lax.dot_general(
+                sel_ref[...], big, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (F+3Fj, KS)
+            feats_ref[:, r, :] = out[0:F]
             scT = lf[6][None, :]
-            jac_ref[0][0:Fj, r, :] = red(selj, dwx * wy * wz) * scT
-            jac_ref[0][Fj:2 * Fj, r, :] = red(selj, wx * dwy * wz) * scT
-            jac_ref[0][2 * Fj:, r, :] = red(selj, wx * wy * dwz) * scT
+            jac_ref[0][:, r, :] = out[F:] * scT
+        else:
+            feats_ref[:, r, :] = jax.lax.dot_general(
+                sel_ref[...], g * (wx * wy * wz),
+                (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (F, KS)
 
 
 def _bwd_kernel(F, Fj, Uc, with_jac, mm_dt, selT_ref, uid_ref, lf_ref,
@@ -138,9 +147,10 @@ def _bwd_kernel(F, Fj, Uc, with_jac, mm_dt, selT_ref, uid_ref, lf_ref,
     first = pl.program_id(2) == 0
     u_base = pl.program_id(1) * Uc
     u_iota = jax.lax.broadcasted_iota(jnp.int32, (KS, Uc), 1) + u_base
+    lanes = _lane_coords(W, F)
     for r in range(TR):
         lf = lf_ref[:, r, :]
-        wx, wy, wz, dwx, dwy, dwz, sc, _, li = _weights(lf, W, F)
+        wx, wy, wz, dwx, dwy, dwz, sc, _, li = _weights(lf, lanes)
 
         if with_jac:
             # ONE S^T contraction for all four cotangent groups: selT
@@ -212,7 +222,10 @@ def fused_ray_reduce(g_u, uid, lf, F, with_jac=True, jac_lo=0,
     ks = _pick_kslab(K)
     rt = RAY_TILE
     grid = (R // rt, K // ks)
-    sel = _sel_pair(W, F, jac_lo, Fj, with_jac)
+    # with_jac: block-diagonal transpose-select (F+3Fj, 4W) for the
+    # fused single-dot forward; else the plain (W, F) select
+    sel = _selT_blockdiag(W, F, jac_lo, Fj, True) if with_jac \
+        else jnp.asarray(_sel_np(W, F, 0, F))
     out_shape = [jax.ShapeDtypeStruct((F, R, K), jnp.float32)]
     out_specs = [pl.BlockSpec((F, rt, ks),
                               lambda i, j: (0, i, j))]
@@ -254,15 +267,6 @@ def _sel_np(W, F, f_lo, Fo):
         for f in range(Fo):
             S[p * F + f_lo + f, f] = 1.0
     return S
-
-
-def _sel_pair(W, F, jac_lo, Fj, with_jac):
-    """(W, F + Fj) stack of the feats select and the jac-window select."""
-    import numpy as np
-    if not with_jac:
-        return jnp.asarray(_sel_np(W, F, 0, F))
-    return jnp.asarray(np.concatenate(
-        [_sel_np(W, F, 0, F), _sel_np(W, F, jac_lo, Fj)], axis=1))
 
 
 def _selT_blockdiag(W, F, jac_lo, Fj, with_jac):

@@ -52,7 +52,7 @@ SQRT3 = float(np.sqrt(3.0))
 
 
 def stream_caps(cfg: BrickGridConfig, tile: int, max_samples: int = 1024,
-                slack: float = 1.5, seg_est: int = 12) -> tuple:
+                slack: float = 1.5, seg_est: int = 8) -> tuple:
     """Static per-level unique-run capacities U_l for a TS-sample tile.
 
     Expected runs in a tile = within-ray brick crossings
@@ -139,16 +139,25 @@ def _unique_plan_uniform(rows, valid, Ug):
     """Run-dedup plan with ONE uniform cap, batch axis (tile, level).
 
     rows: (Lg, T, TS) int32 table row ids; valid: (T, TS).
-    Returns uid (T*Lg, TS) local slot ids in [0, Ug) and
-    urows (T*Lg, Ug) table rows per slot — the fused kernel's batch
-    layout with "ray" := (tile, level)."""
+    Returns (uid (T*Lg, TS) local slot ids in [0, Ug), urows
+    (T*Lg, Ug) table rows per slot, overflow (Lg, T, TS) bool) — the
+    fused kernel's batch layout with "ray" := (tile, level).
+
+    Overflow (more runs in a tile than Ug slots) marks the overflowing
+    cells instead of aliasing them onto slot Ug-1: the caller zeroes
+    their trilerp weights, so an overflowed sample degrades to a
+    zero-feature contribution at that level rather than corrupting a
+    different run's table row (and poisoning its gradients — a 600-step
+    TPU run diverged to NaN exactly when the sharpened scene pushed
+    per-ray segments below the stream_seg estimate)."""
     Lg, T, TS = rows.shape
     prev = jnp.concatenate([jnp.full((Lg, T, 1), -1, rows.dtype),
                             rows[:, :, :-1]], axis=2)
     new = (rows != prev) & valid[None]
     run = jnp.cumsum(new.astype(jnp.int32), axis=2)         # 1-based
     uid = jnp.clip(run - 1, 0, Ug - 1)
-    new_eff = new & (run <= Ug)
+    overflow = run > Ug
+    new_eff = new & ~overflow
     s_iota = jnp.arange(TS, dtype=jnp.int32)[None, None, :]
     keys = jnp.where(new_eff, s_iota, TS + s_iota)
     _, packed = jax.lax.sort(
@@ -157,7 +166,7 @@ def _unique_plan_uniform(rows, valid, Ug):
     urows = packed[:, :, :Ug]                               # (Lg, T, Ug)
     uid = jnp.transpose(uid, (1, 0, 2)).reshape(T * Lg, TS)
     urows = jnp.transpose(urows, (1, 0, 2)).reshape(T * Lg, Ug)
-    return uid, urows
+    return uid, urows, overflow
 
 
 def _grouped_mode(cfg, TS, T, jac_lo, jac_hi, with_jac):
@@ -181,14 +190,16 @@ def _grouped_mode(cfg, TS, T, jac_lo, jac_hi, with_jac):
 
 
 def _plan_groups(caps_c, rows_c, T, TS):
-    """Dedup plans for every level group: [(lo, hi, Ug, uid, urows)]."""
+    """Dedup plans for every level group:
+    [(lo, hi, Ug, uid, urows, overflow)]."""
     ones = jnp.ones((T, TS), bool)
     plans = []
     for lo, hi, Ug in group_levels(caps_c):
-        uid, urows = _unique_plan_uniform(rows_c[lo:hi], ones, Ug)
+        uid, urows, ovf = _unique_plan_uniform(rows_c[lo:hi], ones, Ug)
         plans.append((lo, hi, Ug,
                       checkpoint_name(uid, "raybrick_uid"),
-                      checkpoint_name(urows, "raybrick_urows")))
+                      checkpoint_name(urows, "raybrick_urows"),
+                      checkpoint_name(ovf, "raybrick_ovf")))
     return plans
 
 
@@ -210,7 +221,7 @@ def _grouped_reduce(cfg, plans, g_list, loc4, frc4, T, TS, jac_lo,
     Fj = (F if jac_hi is None else jac_hi) - jac_lo
     N = T * TS
     feats_parts, jac_parts = [], []
-    for (lo, hi, Ug, uid, _), g_u in zip(plans, g_list):
+    for (lo, hi, Ug, uid, _, ovf), g_u in zip(plans, g_list):
         Lg = hi - lo
         g_u = g_u.reshape(T * Lg, Ug, -1)
 
@@ -219,8 +230,12 @@ def _grouped_reduce(cfg, plans, g_list, loc4, frc4, T, TS, jac_lo,
         sc = jnp.asarray(cfg.scales[lo:hi], jnp.float32)
         sc_plane = jnp.broadcast_to(sc[None, :, None], (T, Lg, TS)
                                     ).reshape(1, T * Lg, TS)
+        # overflowed cells: local -9 makes every trilerp weight exactly
+        # zero (forward AND cotangents) — see _unique_plan_uniform
+        loc_g = jnp.where(ovf[None], -9.0,
+                          loc4[:, lo:hi].astype(jnp.float32))
         lf = jnp.concatenate([
-            to_b(loc4[:, lo:hi].astype(jnp.float32)),
+            to_b(loc_g),
             to_b(frc4[:, lo:hi]), sc_plane,
             jnp.zeros((1, T * Lg, TS), jnp.float32)], axis=0)
 
@@ -371,12 +386,15 @@ def _encode_chunk_stream(cfg, table, storage, caps, Lc, TS, xT,
     grouped, interp = (_grouped_mode(cfg, TS, T, jac_lo, jac_hi,
                                      with_jac) if Lc > 0
                        else (False, False))
-    if grouped:
+    if grouped or Lc == 0:
         keep = os.environ.get("INGP_GATHER_KEEP_DTYPE", "1") == "1"
-        rows_c = rows[:Lc].reshape(Lc, T, TS)
-        plans = _plan_groups(caps[:Lc], rows_c, T, TS)
-        idx_list = [p[4].reshape(-1) for p in plans]
-        keeps = [keep] * len(plans)
+        plans = []
+        idx_list, keeps = [], []
+        if Lc > 0:
+            rows_c = rows[:Lc].reshape(Lc, T, TS)
+            plans = _plan_groups(caps[:Lc], rows_c, T, TS)
+            idx_list = [p[4].reshape(-1) for p in plans]
+            keeps = [keep] * len(plans)
         if Lc < L:
             idx_list.append(rows[Lc:].reshape(-1))
             # direct block stays at storage dtype too: the reduce dot
@@ -385,11 +403,15 @@ def _encode_chunk_stream(cfg, table, storage, caps, Lc, TS, xT,
             keeps.append(keep)
         g_list = table_gather_multi(table, idx_list, storage=storage,
                                     keep_storage_dtype=keeps)
-        feats_c, jac_c = _grouped_reduce(
-            cfg, plans, g_list, local[:, :Lc].reshape(3, Lc, T, TS),
-            frac[:, :Lc].reshape(3, Lc, T, TS), T, TS, jac_lo, jac_hi,
-            with_jac, interp)
-        if Lc < L:
+        if Lc > 0:
+            feats_c, jac_c = _grouped_reduce(
+                cfg, plans, g_list, local[:, :Lc].reshape(3, Lc, T, TS),
+                frac[:, :Lc].reshape(3, Lc, T, TS), T, TS, jac_lo,
+                jac_hi, with_jac, interp)
+        if Lc == 0:
+            feats, jac = _direct_reduce(cfg, g_list[-1], local, frac,
+                                        0, N, jac_lo, jac_hi, with_jac)
+        elif Lc < L:
             feats_d, jac_d = _direct_reduce(
                 cfg, g_list[-1], local, frac, Lc,
                 N, jac_lo, jac_hi, with_jac)
@@ -420,11 +442,13 @@ def _encode_chunk_stream(cfg, table, storage, caps, Lc, TS, xT,
 
 
 @partial(jax.jit, static_argnames=("cfg", "tile", "chunk", "remat",
-                                   "storage_dtype", "slack", "seg_est"))
+                                   "storage_dtype", "slack", "seg_est",
+                                   "direct_frac"))
 def streambrick_encode(cfg: BrickGridConfig, table, x_cm,
                        tile: int = 256, chunk: int = 65536,
                        remat: bool = True, storage_dtype=None,
-                       slack: float = 1.5, seg_est: int = 12):
+                       slack: float = 1.5, seg_est: int = 8,
+                       direct_frac: float = 0.7):
     """Encode a ray-contiguous compact stream x_cm (3, N) in [0,1]^3
     -> (N, L*F) features. N is padded internally to the tile size."""
     L, F = cfg.n_levels, cfg.n_features
@@ -432,7 +456,7 @@ def streambrick_encode(cfg: BrickGridConfig, table, x_cm,
     x = x_cm.astype(jnp.float32)
     N = x.shape[1]
     caps = stream_caps(cfg, tile, slack=slack, seg_est=seg_est)
-    Lc = split_levels(caps, tile)
+    Lc = split_levels(caps, tile, direct_frac)
     pad = (-N) % (chunk if N > chunk else _single_pad(tile, chunk))
     xp = jnp.pad(x, ((0, 0), (0, pad)))
     if xp.shape[1] > chunk:
@@ -449,13 +473,13 @@ def streambrick_encode(cfg: BrickGridConfig, table, x_cm,
 
 @partial(jax.jit, static_argnames=("cfg", "tile", "chunk", "remat",
                                    "jac_lo", "jac_hi", "storage_dtype",
-                                   "slack", "seg_est"))
+                                   "slack", "seg_est", "direct_frac"))
 def streambrick_encode_grad(cfg: BrickGridConfig, table, x_cm,
                             tile: int = 256, chunk: int = 65536,
                             remat: bool = True, jac_lo: int = 0,
                             jac_hi: int | None = None,
                             storage_dtype=None, slack: float = 1.5,
-                            seg_est: int = 12):
+                            seg_est: int = 8, direct_frac: float = 0.7):
     """Encode + analytic jacobian over a ray-contiguous stream.
 
     Returns (feats (N, L*F), jac (3, N, L*Fj))."""
@@ -465,7 +489,7 @@ def streambrick_encode_grad(cfg: BrickGridConfig, table, x_cm,
     x = x_cm.astype(jnp.float32)
     N = x.shape[1]
     caps = stream_caps(cfg, tile, slack=slack, seg_est=seg_est)
-    Lc = split_levels(caps, tile)
+    Lc = split_levels(caps, tile, direct_frac)
     pad = (-N) % (chunk if N > chunk else _single_pad(tile, chunk))
     xp = jnp.pad(x, ((0, 0), (0, pad)))
     if xp.shape[1] > chunk:

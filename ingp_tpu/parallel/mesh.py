@@ -49,5 +49,5 @@ def shard_step(step_fn, mesh: Mesh):
         step_fn,
         donate_argnums=(0, 1),
         in_shardings=(repl, repl, repl, repl, repl, repl, data, repl, repl),
-        out_shardings=(repl, repl, repl),
+        out_shardings=(repl, repl, repl, repl),
     )

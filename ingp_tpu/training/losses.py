@@ -79,8 +79,16 @@ def compute_scale_and_shift(prediction, target, weight):
     return x_0, x_1
 
 
-def _normalize(v, eps=1e-12):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+def _normalize(v, eps=1e-6):
+    """Smooth normalize v/sqrt(|v|^2 + eps^2) — same values as
+    F.normalize away from zero but with a BOUNDED backward. The
+    max(|v|, eps) form amplifies cotangents by 1/eps near |v|=0
+    (rays with zero composited weight give exactly-zero normals);
+    through the stream compositor's long scan transposes those
+    amplified cotangents accumulate to f32 inf and Adam turns inf
+    grads into NaN params. Mirrors models/ngp.py _safe_normalize."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v * jax.lax.rsqrt(n2 + eps * eps)
 
 
 def compute_losses(cfg: LossConfig, results, target, step=0, mask=None):

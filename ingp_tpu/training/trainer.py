@@ -64,7 +64,8 @@ def model_config_from_hparams(h) -> NGPConfig:
         stream_dedup=getattr(h, "stream_dedup", False),
         stream_tile=getattr(h, "stream_tile", 256),
         stream_slack=getattr(h, "stream_slack", 1.5),
-        stream_seg=getattr(h, "stream_seg", 12),
+        stream_seg=getattr(h, "stream_seg", 8),
+        stream_direct_frac=getattr(h, "stream_direct_frac", 0.7),
     )
 
 
@@ -75,9 +76,11 @@ def render_config_from_hparams(h, test=False) -> RenderConfig:
     # compact path (see RenderConfig). Requires the brick/fused encoder
     # and a constant-dt lattice (exp_step 0, where the run-cap
     # calibration holds).
-    # stream_dedup (the compact-stream dedup encoder) supersedes the
-    # rectangle path: when both flags are set, the stream path wins —
-    # it is quality-parity proven and strictly faster (PERF_NOTES.md).
+    # stream_dedup (the compact-stream encoder) supersedes the
+    # rectangle path: when both flags are set, the stream path wins.
+    # NOTE: the dedup'd variant (stream_direct_frac > 0) showed a
+    # novel-view quality deficit at 600 steps; direct_frac=0.0 is the
+    # per-sample-exact mode (PERF_NOTES round-3 quality gate).
     ray_dedup = (getattr(h, "ray_dedup", False) and exp_step == 0.0
                  and not test   # test path keeps the two-phase renderer
                  and not getattr(h, "stream_dedup", False)
@@ -200,6 +203,9 @@ class NeRFSystem:
         self.poses = jnp.asarray(self.train_dataset.poses)
 
         self.global_step = 0
+        self._step_dev = None     # device step counter, lazily synced
+        self._base_key = jax.random.PRNGKey(
+            getattr(hparams, "seed", 0) + 1)
         self._build_step()
 
         if hparams.ckpt_load:
@@ -225,6 +231,12 @@ class NeRFSystem:
 
         def step_fn(params, opt_state, bitfield, block_table, directions,
                     poses, batch, step, key):
+            # per-step randomness derives ON DEVICE from a constant base
+            # key + the device-carried step counter: through the axon
+            # tunnel, a host-built PRNGKey and an int32 upload cost a
+            # dispatch round trip per step
+            key = jax.random.fold_in(key, step)
+
             def loss_fn(p):
                 dirs = directions[batch["pix_idxs"]]
                 pose = poses[batch["img_idxs"]]
@@ -293,7 +305,7 @@ class NeRFSystem:
                 loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, aux
+            return params, opt_state, step + 1, aux
 
         if self.mesh is not None:
             from ..parallel.mesh import shard_step
@@ -351,12 +363,17 @@ class NeRFSystem:
             dev_batch = host_local_batch(self.mesh, host_batch)
         else:
             dev_batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
-        key = rng_key if rng_key is not None \
-            else jax.random.PRNGKey(self.global_step + 1)
-        self.params, self.opt_state, aux = self.train_step(
-            self.params, self.opt_state, self.grid["bitfield"],
-            self._march_table(), self.directions, self.poses, dev_batch,
-            jnp.int32(self.global_step), key)
+        # the base key is a CONSTANT device array and the step counter
+        # lives on device (step_fn returns step+1): steady-state steps
+        # upload nothing but the ray batch
+        key = rng_key if rng_key is not None else self._base_key
+        if self._step_dev is None:
+            self._step_dev = jnp.int32(self.global_step)
+        self.params, self.opt_state, self._step_dev, aux = \
+            self.train_step(
+                self.params, self.opt_state, self.grid["bitfield"],
+                self._march_table(), self.directions, self.poses,
+                dev_batch, self._step_dev, key)
         self.global_step += 1
         return aux
 
@@ -631,3 +648,4 @@ class NeRFSystem:
                     self.grid["bitfield"], self.model_cfg.grid_size,
                     self.model_cfg.cascades)
         self.global_step = int(state.get("step", 0))
+        self._step_dev = None     # re-sync from global_step on next step

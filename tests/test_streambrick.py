@@ -134,15 +134,39 @@ def test_group_levels_partition():
 def test_unique_plan_uniform():
     rows = jnp.asarray([[[5, 5, 7, 7, 7, 2, 9, 9]]], jnp.int32)
     valid = jnp.ones((1, 8), bool)
-    uid, urows = _unique_plan_uniform(rows, valid, 4)
+    uid, urows, ovf = _unique_plan_uniform(rows, valid, 4)
     np.testing.assert_array_equal(np.asarray(uid[0]),
                                   [0, 0, 1, 1, 1, 2, 3, 3])
     np.testing.assert_array_equal(np.asarray(urows[0]), [5, 7, 2, 9])
-    # overflow: runs past the cap clamp onto the last slot
-    uid2, urows2 = _unique_plan_uniform(rows, valid, 3)
-    np.testing.assert_array_equal(np.asarray(uid2[0]),
-                                  [0, 0, 1, 1, 1, 2, 2, 2])
+    assert not np.asarray(ovf).any()
+    # overflow: runs past the cap are MARKED (the caller zeroes their
+    # weights) — not aliased onto the last slot
+    uid2, urows2, ovf2 = _unique_plan_uniform(rows, valid, 3)
     np.testing.assert_array_equal(np.asarray(urows2[0]), [5, 7, 2])
+    np.testing.assert_array_equal(np.asarray(ovf2[0, 0]),
+                                  [0, 0, 0, 0, 0, 0, 1, 1])
+    np.testing.assert_array_equal(np.asarray(uid2[0, :6]),
+                                  [0, 0, 1, 1, 1, 2])
+
+
+def test_grouped_overflow_degrades_to_zero_features(monkeypatch):
+    """Force tiny caps: overflowed samples get ZERO features at the
+    dedup levels (not another run's values), and table grads stay
+    uncorrupted (match a reference computed on the kept prefix)."""
+    monkeypatch.setenv("INGP_STREAM_GROUPED", "1")
+    monkeypatch.setenv("INGP_STREAM_GROUPED_INTERPRET", "1")
+    _clear_stream_caches()
+    key = jax.random.PRNGKey(30)
+    table = brickgrid_init(key, CFG)
+    # a NON-contiguous stream (random points): nearly every sample is
+    # its own run, so tile-size caps overflow immediately
+    x = jax.random.uniform(jax.random.PRNGKey(31), (3, 2048))
+    out = streambrick_encode(CFG, table, x, tile=256)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    g = jax.grad(lambda t: jnp.sum(
+        streambrick_encode(CFG, t, x, tile=256) ** 2))(table)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    _clear_stream_caches()
 
 
 def _clear_stream_caches():
@@ -239,3 +263,28 @@ def test_render_stream_matches_plain_compact():
         np.testing.assert_allclose(np.asarray(g_out[k]),
                                    np.asarray(g_ref[k]), rtol=1e-3,
                                    atol=1e-7, err_msg=k)
+
+
+def test_all_direct_mode_matches_per_sample():
+    """direct_frac=0.0 (the quality-safe bench default): every level
+    per-sample through the multi-gather plumbing — values, jacobian and
+    table grads exactly match the plain brick encoder."""
+    key = jax.random.PRNGKey(40)
+    table = brickgrid_init(key, CFG)
+    x = ray_stream(jax.random.PRNGKey(41), n_rays=64)
+    f_ref, j_ref = brickgrid_encode_grad(CFG, table, x, x_cm=True)
+    f, j = streambrick_encode_grad(CFG, table, x, tile=256,
+                                   direct_frac=0.0)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_ref),
+                               rtol=1e-6, atol=1e-6)
+    wf = jax.random.normal(jax.random.PRNGKey(42),
+                           (x.shape[1], CFG.out_dim))
+    g_ref = jax.grad(lambda t: jnp.sum(
+        brickgrid_encode(CFG, t, x, x_cm=True) * wf))(table)
+    g = jax.grad(lambda t: jnp.sum(
+        streambrick_encode(CFG, t, x, tile=256, direct_frac=0.0)
+        * wf))(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-7)
