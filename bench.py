@@ -36,11 +36,10 @@ def note(msg):
 
 
 def main():
-    # a pre-warmed persistent-cache artifact ships with the repo (the
-    # TPU analog of the reference's precompiled CUDA kernels,
-    # models/csrc/setup.py): point jax's compilation cache at it so the
-    # driver's cold run skips the minutes-long XLA compile. jax also
-    # WRITES new entries there, which is fine — the dir is repo-local.
+    # optional pre-warmed persistent-cache dir (measured: axon-tunnel
+    # TPU executables do not round-trip the local persistent cache, so
+    # this only helps the small host-side programs — the cold compile
+    # of the bench default is ~4 min, within the driver budget)
     seed = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "xla_cache_seed")
     if os.path.isdir(seed):
