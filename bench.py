@@ -79,12 +79,14 @@ def main():
         dedup_slack=float(os.environ.get("BENCH_DEDUP_SLACK", "1.5")),
         stream_dedup=os.environ.get("BENCH_STREAM", "1") == "1",
         stream_tile=int(os.environ.get("BENCH_STREAM_TILE", "256")),
-        # 0.0 = all levels per-sample (no dedup caps): value-exact to
-        # the plain compact path, whose 600-step quality is the proven
-        # control (26.95 dB novel). The dedup'd stream (0.7) is ~10%
-        # faster but showed a novel-view deficit — see PERF_NOTES.
+        stream_seg=int(os.environ.get("BENCH_STREAM_SEG", "4")),
+        stream_slack=float(os.environ.get("BENCH_STREAM_SLACK", "2.5")),
+        # dedup at the VALIDATED cap op-point (seg 4 / slack 2.5):
+        # 600-step quality within 0.6 dB of the per-sample control
+        # (25.53 vs 26.15 dB novel, PERF_NOTES round-3 quality gate).
+        # BENCH_DIRECT_FRAC=0.0 selects the per-sample-exact mode.
         stream_direct_frac=float(os.environ.get("BENCH_DIRECT_FRAC",
-                                                "0.0")),
+                                                "0.7")),
     )
     tr = SyntheticDataset(split="train", img_size=256, n_train=16)
     te = SyntheticDataset(split="test", img_size=256, n_test=1)
