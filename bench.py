@@ -80,7 +80,7 @@ def main():
         stream_dedup=os.environ.get("BENCH_STREAM", "1") == "1",
         stream_tile=int(os.environ.get("BENCH_STREAM_TILE", "256")),
         stream_seg=int(os.environ.get("BENCH_STREAM_SEG", "4")),
-        stream_slack=float(os.environ.get("BENCH_STREAM_SLACK", "2.5")),
+        stream_slack=float(os.environ.get("BENCH_STREAM_SLACK", "1.5")),
         # dedup at the VALIDATED cap op-point (seg 4 / slack 2.5):
         # 600-step quality within 0.6 dB of the per-sample control
         # (25.53 vs 26.15 dB novel, PERF_NOTES round-3 quality gate).

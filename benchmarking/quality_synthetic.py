@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--ray_dedup", action="store_true", default=False)
     ap.add_argument("--stream_dedup", action="store_true", default=False)
     ap.add_argument("--stream_tile", type=int, default=256)
-    ap.add_argument("--stream_slack", type=float, default=2.5)
+    ap.add_argument("--stream_slack", type=float, default=1.5)
     ap.add_argument("--stream_seg", type=int, default=4)
     ap.add_argument("--stream_direct_frac", type=float, default=0.7)
     ap.add_argument("--dedup_slack", type=float, default=1.5)

@@ -51,7 +51,7 @@ def main():
         stream_dedup=os.environ.get("BENCH_STREAM", "1") == "1",
         stream_tile=int(os.environ.get("BENCH_STREAM_TILE", "256")),
         stream_seg=int(os.environ.get("BENCH_STREAM_SEG", "4")),
-        stream_slack=float(os.environ.get("BENCH_STREAM_SLACK", "2.5")),
+        stream_slack=float(os.environ.get("BENCH_STREAM_SLACK", "1.5")),
         stream_direct_frac=float(os.environ.get("BENCH_DIRECT_FRAC",
                                                 "0.0")),
         dedup_slack=float(os.environ.get("BENCH_DEDUP_SLACK", "1.5")),

@@ -86,7 +86,7 @@ class NGPConfig:
     # the stream instead of one per sample.
     stream_dedup: bool = False
     stream_tile: int = 256          # samples per dedup tile
-    stream_slack: float = 2.5       # run-cap headroom (stream_caps)
+    stream_slack: float = 1.5       # run-cap headroom (stream_caps)
     # fraction of the tile size above which a level's cap makes it
     # DIRECT (per-sample gather). 0.0 = all levels direct: per-sample
     # exact (no dedup caps anywhere) while keeping the stream path's
@@ -96,10 +96,12 @@ class NGPConfig:
     # slack cannot see)
     stream_direct_frac: float = 0.7
     stream_seg: int = 4             # shortest typical per-ray segment.
-    #   seg 4 / slack 2.5 is the VALIDATED op-point: a 600-step TPU run
-    #   at the old seg 12 / slack 1.5 caps lost ~5 dB novel-view PSNR to
-    #   run-cap overflow (zero-featured cells); at these caps the dedup
-    #   path matches the per-sample control within 0.6 dB
+    #   seg 4 / slack 1.5 is the VALIDATED op-point (26.13 dB novel ==
+    #   the 26.15 per-sample control): the binding cap term is the
+    #   ray-boundary BREAKS budget — the budget-truncated stream is
+    #   bimodal (sky rays keep ~0-5 samples, surface rays ~24), so
+    #   short-segment-rich tiles see ~50+ run breaks; the old seg 12
+    #   budget (~21+4) overflowed there and cost ~5 dB novel-view
     #   (PERF_NOTES round-3 quality gate)
 
     @property

@@ -130,7 +130,7 @@ def build_parser() -> argparse.ArgumentParser:
                              " one table row per brick run of the "
                              "stream; brick/fused encoders")
     parser.add_argument("--stream_tile", type=int, default=256)
-    parser.add_argument("--stream_slack", type=float, default=2.5)
+    parser.add_argument("--stream_slack", type=float, default=1.5)
     parser.add_argument("--stream_seg", type=int, default=4)
     parser.add_argument("--sparsity_loss", type=float, default=0.0,
                         help="global mean-sigma sparsity prior weight "

@@ -63,7 +63,7 @@ def model_config_from_hparams(h) -> NGPConfig:
         encode_remat=getattr(h, "encode_remat", True),
         stream_dedup=getattr(h, "stream_dedup", False),
         stream_tile=getattr(h, "stream_tile", 256),
-        stream_slack=getattr(h, "stream_slack", 2.5),
+        stream_slack=getattr(h, "stream_slack", 1.5),
         stream_seg=getattr(h, "stream_seg", 4),
         stream_direct_frac=getattr(h, "stream_direct_frac", 0.7),
     )
