@@ -53,7 +53,7 @@ def main():
         stream_seg=int(os.environ.get("BENCH_STREAM_SEG", "4")),
         stream_slack=float(os.environ.get("BENCH_STREAM_SLACK", "1.5")),
         stream_direct_frac=float(os.environ.get("BENCH_DIRECT_FRAC",
-                                                "0.0")),
+                                                "0.7")),
         dedup_slack=float(os.environ.get("BENCH_DEDUP_SLACK", "1.5")),
     )
     tr = SyntheticDataset(split="train", img_size=256, n_train=16)
