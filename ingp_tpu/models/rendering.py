@@ -205,15 +205,18 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
         sigmas_k = jnp.where(pad, 0.0, sigmas_k)
 
         import os
-        # default-off: value/grad-parity proven on CPU shapes
-        # (test_composite_stream_matches_grid), but at K ~ 2e5 the
-        # segmented scans ride on a GLOBAL f32 cumsum whose magnitude
-        # reaches the accumulated sigma*dt of the whole batch — the
-        # per-sample low bits cancel away and 600-step TPU training
-        # diverged (PERF_NOTES round-3). Needs a two-level (block-local
-        # + offset) scan before it can ship.
+        # default-ON since round 4: the compositor's scans are EXACT
+        # segmented scans (ops/composite._seg_scan) whose additions
+        # never cross a ray boundary, so the round-3 failure mode —
+        # a GLOBAL f32 cumsum reaching the accumulated sigma*dt of the
+        # whole batch (1e4+) and cancelling away the per-sample low
+        # bits at K ~ 2e5 — is structurally gone. Parity proven at
+        # production scale vs a float64 reference
+        # (test_composite_stream_production_scale_exact) and via the
+        # 600-step TPU quality gate. INGP_STREAM_COMPOSITE=0 restores
+        # the (R, S) scatter_back grid path for A/B runs.
         if (not render_cfg.pallas_composite
-                and os.environ.get("INGP_STREAM_COMPOSITE", "0") == "1"):
+                and os.environ.get("INGP_STREAM_COMPOSITE", "1") == "1"):
             # stream compositing: per-ray scans run directly on the
             # ray-major compact batch — none of the per-sample channels
             # round-trips through the (R, S) grid (ops/composite.py

@@ -90,31 +90,47 @@ def _seg_bounds(counts):
     return ends - counts, ends
 
 
-def _seg_sums(cum_c, starts, ends):
-    """Per-segment sums from inclusive channel-major cumsums
-    cum_c (C, K): sum_r = cum[end_r - 1] - cum[start_r - 1]."""
-    z = jnp.zeros(cum_c.shape[:-1] + (1,), cum_c.dtype)
-    cumb = jnp.concatenate([z, cum_c], axis=-1)        # (C, K+1)
-    return (jnp.take(cumb, ends, axis=-1)
-            - jnp.take(cumb, starts, axis=-1))         # (C, R)
+def _start_mask(starts, K):
+    """(K,) bool mask of segment-start slots. starts may contain K
+    (empty trailing rays): one pad slot absorbs the OOB set, keeping
+    both the forward scatter and its backward gather in bounds."""
+    return jnp.zeros((K + 1,), bool).at[starts].set(True)[:K]
 
 
-def _seg_cumsum(q, starts, base_diff):
-    """Segmented inclusive cumsum over a ray-major stream, scatter-free
-    on the sample axis: injecting -(previous segments' running total) at
-    each segment start resets the plain cumsum per segment. base_diff
-    (R,) is each PREVIOUS segment's total (so its prefix sums telescope
-    to the bases); only an (R,)-element scatter-add is needed, never a
-    (K,)-element one (elementwise K-scatters are pathological on TPU,
-    ops/pack.py).
+def _seg_scan(smask, vals):
+    """EXACT segmented inclusive cumsum along the last axis.
 
-    The stream carries one pad slot: when the budget overflows exactly,
-    empty trailing rays have starts == K, and an OOB scatter would be
-    silently dropped forward but TRANSPOSE to an OOB gather whose
-    fill value is NaN in the backward."""
-    z = jnp.concatenate([q, jnp.zeros((1,), q.dtype)])
-    z = z.at[starts].add(-base_diff)
-    return jnp.cumsum(z, -1)[:-1]
+    The retired formulation ran a GLOBAL cumsum and injected negative
+    per-segment bases at each start: at production stream sizes
+    (K ~ 2e5) the global running total reaches the accumulated
+    sigma*dt of the whole batch (1e4+), and recovering a per-sample
+    value by cancellation loses the low bits — 600-step TPU training
+    diverged at step ~200-300 (PERF_NOTES round-3). This associative
+    segmented scan never ADDS across a segment boundary (the combine
+    restarts at flagged elements), so accumulated magnitudes are
+    bounded by a single ray's total and there is no cancellation at
+    any K. Same log-depth tree XLA lowers cumsum to.
+
+    vals: (C, K); smask: (K,) bool. Returns (C, K).
+    """
+    f = jnp.broadcast_to(smask[None], vals.shape)
+
+    def comb(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, av + bv)
+
+    _, out = jax.lax.associative_scan(comb, (f, vals), axis=-1)
+    return out
+
+
+def _seg_totals(seg_cum, ends, counts):
+    """Per-segment totals from a segmented inclusive cumsum: the value
+    at each segment's last slot (exact — no global-prefix difference).
+    seg_cum: (C, K); ends, counts: (R,). Returns (C, R)."""
+    idx = jnp.clip(ends - 1, 0, seg_cum.shape[-1] - 1)
+    v = jnp.take(seg_cum, idx, axis=-1)
+    return jnp.where(counts[None] > 0, v, 0.0)
 
 
 def composite_stream(sig_k, rgb_cm, t_k, dt_k, counts, slot_valid,
@@ -124,12 +140,14 @@ def composite_stream(sig_k, rgb_cm, t_k, dt_k, counts, slot_valid,
     ray-major COMPACT stream — the (R, S) round trip (scatter_back of
     every per-sample channel, then (R, S)-domain scans) disappears.
 
-    The per-ray front-to-back recurrence runs as segmented scans over
-    the (K,) stream: an (R,)-sized reset injection at each ray's first
-    slot turns the plain cumsum into a per-ray cumsum (_seg_cumsum);
-    per-ray reductions are two boundary gathers of a channel-stacked
-    cumsum (_seg_sums). Same math as composite_rays on the scattered
-    grid (volumerendering.cu:66-164 semantics), tested equal.
+    The per-ray front-to-back recurrence runs as EXACT segmented scans
+    over the (K,) stream (_seg_scan: additions never cross a ray
+    boundary, so there is no global-magnitude cancellation at any K);
+    per-ray reductions read each segment's last scanned slot
+    (_seg_totals). Same math as composite_rays on the scattered grid
+    (volumerendering.cu:66-164 semantics), tested equal — including at
+    production-scale K with adversarial sigma magnitudes
+    (tests/test_ops.py stream-compositor suite).
 
     Args:
       sig_k: (K,) sigma per compact slot (zero at padding).
@@ -143,14 +161,12 @@ def composite_stream(sig_k, rgb_cm, t_k, dt_k, counts, slot_valid,
     ref inputs are given); per-sample "ws" stays in stream form.
     """
     R = counts.shape[0]
+    K = sig_k.shape[0]
     starts, ends = _seg_bounds(counts)
+    smask = _start_mask(starts, K)
 
     sd = jnp.where(slot_valid, sig_k * dt_k, 0.0)
-    cum_sd = jnp.cumsum(sd, -1)
-    cumb_sd = jnp.concatenate([jnp.zeros((1,)), cum_sd])
-    seg_tot = (jnp.take(cumb_sd, ends) - jnp.take(cumb_sd, starts))
-    prev_tot = jnp.concatenate([jnp.zeros((1,)), seg_tot[:-1]])
-    sd_seg_inc = _seg_cumsum(sd, starts, prev_tot)
+    sd_seg_inc = _seg_scan(smask, sd[None])[0]
     Ts = jnp.exp(-(sd_seg_inc - sd))                   # exclusive
     include = slot_valid & (Ts > T_threshold)
     alphas = 1.0 - jnp.exp(-sd)
@@ -158,7 +174,12 @@ def composite_stream(sig_k, rgb_cm, t_k, dt_k, counts, slot_valid,
 
     # one channel-stacked cumsum + two boundary gathers for every
     # composite output
-    chans = [ws[None], (ws * t_k)[None], include[None].astype(jnp.float32),
+    # vr_samples counts ws > 0 (not `include`): samples with
+    # sigma*dt == 0 pass the T gate but carry zero weight, and
+    # composite_rays' count excludes them — keep the two compositors'
+    # s/ray metric identical
+    chans = [ws[None], (ws * t_k)[None],
+             (ws > 0)[None].astype(jnp.float32),
              ws[None] * rgb_cm]
     names = ["opacity", "depth", "vr", "rgb"]
     if normals_pred is not None:
@@ -179,23 +200,15 @@ def composite_stream(sig_k, rgb_cm, t_k, dt_k, counts, slot_valid,
         names.append("Ro")
     # distortion loss (losses.cu:92-93) from segmented scans of w, w*t
     wt = ws * t_k
-    cw = jnp.cumsum(ws, -1)
-    cwt = jnp.cumsum(wt, -1)
-    cwb = jnp.concatenate([jnp.zeros((1,)), cw])
-    cwtb = jnp.concatenate([jnp.zeros((1,)), cwt])
-    tot_w = jnp.take(cwb, ends) - jnp.take(cwb, starts)
-    tot_wt = jnp.take(cwtb, ends) - jnp.take(cwtb, starts)
-    ws_in = _seg_cumsum(ws, starts,
-                        jnp.concatenate([jnp.zeros((1,)), tot_w[:-1]]))
-    wts_in = _seg_cumsum(wt, starts,
-                         jnp.concatenate([jnp.zeros((1,)), tot_wt[:-1]]))
+    wscan = _seg_scan(smask, jnp.stack([ws, wt]))
+    ws_in, wts_in = wscan[0], wscan[1]
     per_sample = 2.0 * (wts_in * (ws_in - ws) - ws_in * (wts_in - wt)) \
         + (1.0 / 3.0) * ws * ws * jnp.where(slot_valid, dt_k, 0.0)
     chans.append(per_sample[None])
     names.append("distortion")
 
     stacked = jnp.concatenate(chans, axis=0)           # (C_tot, K)
-    sums = _seg_sums(jnp.cumsum(stacked, -1), starts, ends)
+    sums = _seg_totals(_seg_scan(smask, stacked), ends, counts)
 
     out = {"ws": ws}
     ofs = 0

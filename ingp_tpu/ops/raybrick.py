@@ -96,13 +96,19 @@ def run_caps(cfg: BrickGridConfig, spr: int, max_samples: int = 1024,
     return tuple(caps)
 
 
-def _unique_plan(cfg: BrickGridConfig, rows, valid, caps):
+def _unique_plan(cfg: BrickGridConfig, rows, valid, caps,
+                 with_overflow: bool = False):
     """Run-dedup plan for one chunk.
 
     Args:
       rows: (L, R, S) int32 table row ids.
       valid: (R, S) bool sample mask (valid samples form a prefix).
       caps: per-level static capacities U_l.
+      with_overflow: also return the (L, R, S) bool mask of samples
+        whose run overflowed its level cap (they alias slot U_l-1 — a
+        neighboring run's row; callers that cannot tolerate the alias
+        zero those samples' trilerp weights instead, matching
+        streambrick._unique_plan_uniform's overflow marking).
 
     Returns:
       uid:   (R, L*S) int32 global unique slot per sample, in
@@ -138,6 +144,8 @@ def _unique_plan(cfg: BrickGridConfig, rows, valid, caps):
         dimension=2, num_keys=1)                           # (L, R, S)
     urows = jnp.concatenate(
         [packed[l, :, :caps[l]] for l in range(L)], axis=1)
+    if with_overflow:
+        return uid, urows, run > caps_a
     return uid, urows
 
 

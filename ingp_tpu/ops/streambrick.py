@@ -52,7 +52,7 @@ SQRT3 = float(np.sqrt(3.0))
 
 
 def stream_caps(cfg: BrickGridConfig, tile: int, max_samples: int = 1024,
-                slack: float = 1.5, seg_est: int = 8) -> tuple:
+                slack: float = 1.5, seg_est: int = 4) -> tuple:
     """Static per-level unique-run capacities U_l for a TS-sample tile.
 
     Expected runs in a tile = within-ray brick crossings
@@ -270,9 +270,17 @@ def _dedup_feats(cfg, table, storage, rows_c, local_c, frac_c, caps_c,
         return (jnp.zeros((N, 0)),
                 jnp.zeros((3, N, 0)) if with_jac else None)
     ones = jnp.ones((T, TS), bool)
-    uid, urows = _unique_plan(cfg, rows_c, ones, caps_c)
+    uid, urows, ovf = _unique_plan(cfg, rows_c, ones, caps_c,
+                                   with_overflow=True)
     uid = checkpoint_name(uid, "raybrick_uid")
     urows = checkpoint_name(urows, "raybrick_urows")
+    # overflow marking, same contract as the grouped path
+    # (_unique_plan_uniform): local -9 zeroes every trilerp weight of an
+    # overflowed cell (forward AND cotangents), so it degrades to a
+    # zero-feature contribution instead of aliasing slot U_l-1 — a
+    # different run's row, whose gradient it would otherwise poison
+    local_c = jnp.where(ovf.reshape(Lc, -1)[None], -9.0,
+                        local_c.astype(jnp.float32))
     U_tot = int(np.sum(caps_c))
     import os
     keep = os.environ.get("INGP_GATHER_KEEP_DTYPE", "1") == "1"
@@ -447,7 +455,7 @@ def _encode_chunk_stream(cfg, table, storage, caps, Lc, TS, xT,
 def streambrick_encode(cfg: BrickGridConfig, table, x_cm,
                        tile: int = 256, chunk: int = 65536,
                        remat: bool = True, storage_dtype=None,
-                       slack: float = 1.5, seg_est: int = 8,
+                       slack: float = 1.5, seg_est: int = 4,
                        direct_frac: float = 0.7):
     """Encode a ray-contiguous compact stream x_cm (3, N) in [0,1]^3
     -> (N, L*F) features. N is padded internally to the tile size."""
@@ -479,7 +487,7 @@ def streambrick_encode_grad(cfg: BrickGridConfig, table, x_cm,
                             remat: bool = True, jac_lo: int = 0,
                             jac_hi: int | None = None,
                             storage_dtype=None, slack: float = 1.5,
-                            seg_est: int = 8, direct_frac: float = 0.7):
+                            seg_est: int = 4, direct_frac: float = 0.7):
     """Encode + analytic jacobian over a ray-contiguous stream.
 
     Returns (feats (N, L*F), jac (3, N, L*Fj))."""

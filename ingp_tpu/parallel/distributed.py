@@ -42,6 +42,21 @@ def host_local_batch(mesh, global_batch):
     }
 
 
+def broadcast_int(value):
+    """Broadcast an int (or None, encoded -1) from process 0 to every
+    process. Hosts must agree on control-flow decisions like "resume
+    from step N" — a host whose local view of the checkpoint directory
+    lags (e.g. a freshly restarted worker on a shared FS with stale
+    metadata) would otherwise take a different branch and desync the
+    collectives."""
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+    v = np.asarray(-1 if value is None else int(value), np.int64)
+    out = int(multihost_utils.broadcast_one_to_all(v))
+    return None if out < 0 else out
+
+
 def all_gather_metrics(values):
     """Gather per-host metric lists -> flat list on every host
     (all_gather_ddp_if_available equivalent)."""

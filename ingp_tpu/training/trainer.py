@@ -78,9 +78,10 @@ def render_config_from_hparams(h, test=False) -> RenderConfig:
     # calibration holds).
     # stream_dedup (the compact-stream encoder) supersedes the
     # rectangle path: when both flags are set, the stream path wins.
-    # NOTE: the dedup'd variant (stream_direct_frac > 0) showed a
-    # novel-view quality deficit at 600 steps; direct_frac=0.0 is the
-    # per-sample-exact mode (PERF_NOTES round-3 quality gate).
+    # The dedup'd variant at the validated caps (seg 4 / slack 1.5) is
+    # FULL quality parity with the per-sample control (26.13/0.872 vs
+    # 26.15/0.873 novel at 600 steps, PERF_NOTES round-3 quality gate);
+    # direct_frac=0.0 remains the per-sample-exact fallback.
     ray_dedup = (getattr(h, "ray_dedup", False) and exp_step == 0.0
                  and not test   # test path keeps the two-phase renderer
                  and not getattr(h, "stream_dedup", False)
@@ -347,18 +348,36 @@ class NeRFSystem:
                 jax.random.PRNGKey(self.global_step),
                 self.global_step < self.WARMUP_STEPS)
 
-    def training_step(self, batch, rng_key=None):
-        """One optimization step on a host batch dict (train.py:268-345).
+    BATCH_KEYS = ("img_idxs", "pix_idxs", "uv", "rgb", "label",
+                  "depth", "normal", "exposure")
 
-        Multi-process: `batch` is this host's LOCAL slice; the global
-        batch (process_count * local size) is assembled on the mesh via
-        make_array_from_process_local_data — the reference's DDP
-        semantics (each rank contributes its own ray batch)."""
+    def stage_batch(self, batch):
+        """Upload a host batch to device WITHOUT blocking: device_put
+        dispatches the copy asynchronously, so a batch staged right
+        after a training_step's dispatch uploads while that step's
+        device compute runs (fit()'s double buffer). Multi-process
+        builds the globally-sharded array from this host's local slice
+        instead (DDP semantics: each rank contributes its own rays)."""
+        host_batch = {k: v for k, v in batch.items()
+                      if k in self.BATCH_KEYS}
+        if self.mesh is not None:
+            if jax.process_count() > 1:
+                from ..parallel.distributed import host_local_batch
+                return host_local_batch(self.mesh, host_batch)
+            from ..parallel.mesh import shard_batch
+            return shard_batch(self.mesh, host_batch)
+        return {k: jax.device_put(np.asarray(v))
+                for k, v in host_batch.items()}
+
+    def training_step(self, batch, rng_key=None):
+        """One optimization step on a batch dict (train.py:268-345) —
+        host numpy arrays or a batch already staged by stage_batch()."""
         self.maybe_update_grid()
         host_batch = {k: v for k, v in batch.items()
-                      if k in ("img_idxs", "pix_idxs", "uv", "rgb", "label",
-                               "depth", "normal", "exposure")}
-        if self.mesh is not None and jax.process_count() > 1:
+                      if k in self.BATCH_KEYS}
+        if all(isinstance(v, jax.Array) for v in host_batch.values()):
+            dev_batch = host_batch          # pre-staged (fit double buffer)
+        elif self.mesh is not None and jax.process_count() > 1:
             from ..parallel.distributed import host_local_batch
             dev_batch = host_local_batch(self.mesh, host_batch)
         else:
@@ -527,33 +546,58 @@ class NeRFSystem:
 
         logger = None
         ckpt_mgr = None
-        if ckpt_dir and main:
+        if ckpt_dir:
+            # EVERY process participates in checkpointing: orbax's
+            # multi-host save/restore runs collective barriers, and a
+            # restore applied only on host 0 would leave the other
+            # hosts at fresh init with global_step=0 — divergent loop
+            # trip counts and replicated state (advisor r3 finding).
+            # The checkpoint root is assumed host-shared (the standard
+            # orbax multi-host contract).
             os.makedirs(ckpt_dir, exist_ok=True)
-            from ..utils.loggers import make_logger
-            logger = make_logger(getattr(h, "logger", "jsonl"), ckpt_dir,
-                                 getattr(h, "exp_name", "exp"))
+            if main:
+                from ..utils.loggers import make_logger
+                logger = make_logger(getattr(h, "logger", "jsonl"),
+                                     ckpt_dir,
+                                     getattr(h, "exp_name", "exp"))
             # async epoch checkpoints + preemption recovery: resume from
             # the latest committed step when fit() starts cold on an
             # existing run directory (SURVEY.md §5)
             ckpt_mgr = AsyncCkptManager(os.path.join(ckpt_dir, "steps"))
             latest = ckpt_mgr.latest_step()
+            if jax.process_count() > 1:
+                from ..parallel.distributed import broadcast_int
+                latest = broadcast_int(latest)  # hosts must agree
             if (latest is not None and self.global_step == 0
                     and not getattr(h, "no_resume", False)):
                 self.load_state(ckpt_mgr.restore(latest))
-                print(f"resumed from {ckpt_dir}/steps @ step "
-                      f"{self.global_step}")
+                if main:
+                    print(f"resumed from {ckpt_dir}/steps @ step "
+                          f"{self.global_step}")
         profile_dir = getattr(h, "profile_dir", None)
+
+        def sample():
+            return native.next_batch() if native is not None \
+                else self.train_dataset.sample_batch(rng)
 
         t0 = time.time()
         rays_done = 0
-        for step in range(self.global_step, total_steps):
-            if profile_dir and step == self.global_step + 20:
+        first_step = self.global_step
+        # double-buffered input: batch N+1 is sampled AND device_put
+        # right after step N's async dispatch, so its host->device
+        # upload overlaps step N's device compute (the reference's
+        # pinned-memory DataLoader workers, train.py:255-260, expressed
+        # as JAX async dispatch + async device_put)
+        staged = self.stage_batch(sample())
+        for step in range(first_step, total_steps):
+            if profile_dir and step == first_step + 20:
                 jax.profiler.start_trace(profile_dir)
-            if profile_dir and step == self.global_step + 30:
+            if profile_dir and step == first_step + 30:
                 jax.profiler.stop_trace()
-            batch = native.next_batch() if native is not None \
-                else self.train_dataset.sample_batch(rng)
+            batch = staged
             aux = self.training_step(batch)
+            if step + 1 < total_steps:
+                staged = self.stage_batch(sample())
             rays_done += h.batch_size
             if on_step is not None:
                 on_step(step, aux)

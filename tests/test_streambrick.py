@@ -266,7 +266,9 @@ def test_render_stream_matches_plain_compact():
 
 
 def test_all_direct_mode_matches_per_sample():
-    """direct_frac=0.0 (the quality-safe bench default): every level
+    """direct_frac=0.0 (the per-sample-exact fallback,
+    BENCH_DIRECT_FRAC=0.0; the bench default is the quality-validated
+    dedup at seg 4 / slack 1.5): every level
     per-sample through the multi-gather plumbing — values, jacobian and
     table grads exactly match the plain brick encoder."""
     key = jax.random.PRNGKey(40)
