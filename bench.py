@@ -93,6 +93,12 @@ def main():
         # per-sample-exact mode.
         stream_direct_frac=float(os.environ.get("BENCH_DIRECT_FRAC",
                                                 "0.7")),
+        # round-4 levers: kept-count ray ordering of the compact stream
+        # (quality-neutral, enables per-tile-class caps) and the tight
+        # head-class breaks budget (BENCH_HEAD_FRAC > 0 arms it)
+        stream_sort=os.environ.get("BENCH_STREAM_SORT", "1") == "1",
+        stream_seg_head=int(os.environ.get("BENCH_SEG_HEAD", "20")),
+        stream_head_frac=float(os.environ.get("BENCH_HEAD_FRAC", "0.0")),
     )
     tr = SyntheticDataset(split="train", img_size=256, n_train=16)
     te = SyntheticDataset(split="test", img_size=256, n_test=1)

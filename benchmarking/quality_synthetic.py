@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--stream_slack", type=float, default=1.5)
     ap.add_argument("--stream_seg", type=int, default=4)
     ap.add_argument("--stream_direct_frac", type=float, default=0.7)
+    ap.add_argument("--no_stream_sort", dest="stream_sort",
+                    action="store_false", default=True)
+    ap.add_argument("--stream_seg_head", type=int, default=20)
+    ap.add_argument("--stream_head_frac", type=float, default=0.0)
     ap.add_argument("--dedup_slack", type=float, default=1.5)
     ap.add_argument("--sparsity", type=float, default=1e-3)
     args = ap.parse_args()
@@ -58,7 +62,10 @@ def main():
         dedup_slack=args.dedup_slack, stream_dedup=args.stream_dedup,
         stream_tile=args.stream_tile, stream_slack=args.stream_slack,
         stream_seg=args.stream_seg,
-        stream_direct_frac=args.stream_direct_frac)
+        stream_direct_frac=args.stream_direct_frac,
+        stream_sort=args.stream_sort,
+        stream_seg_head=args.stream_seg_head,
+        stream_head_frac=args.stream_head_frac)
     tr = SyntheticDataset(split="train", img_size=args.img_size,
                           n_train=args.n_train)
     te = SyntheticDataset(split="test", img_size=args.img_size, n_test=4)

@@ -103,6 +103,14 @@ class NGPConfig:
     #   short-segment-rich tiles see ~50+ run breaks; the old seg 12
     #   budget (~21+4) overflowed there and cost ~5 dB novel-view
     #   (PERF_NOTES round-3 quality gate)
+    # per-tile-CLASS caps (round 4): when the caller marks the stream
+    # SORTED by per-ray kept count (stream="sorted", set by the
+    # renderer's stream_sort), the first stream_head_frac of each
+    # chunk's tiles hold the longest segments and use the tight
+    # stream_seg_head breaks budget; the tail keeps stream_seg.
+    # head_frac 0 disables (single cap class).
+    stream_seg_head: int = 20
+    stream_head_frac: float = 0.0
 
     @property
     def cascades(self) -> int:
@@ -225,9 +233,21 @@ def _storage_dt(cfg: NGPConfig):
     return None if cfg.table_dtype == "float32" else cfg.table_dtype
 
 
-def _use_stream(cfg: NGPConfig, stream: bool) -> bool:
-    return (stream and cfg.stream_dedup
+def _use_stream(cfg: NGPConfig, stream) -> bool:
+    """stream: False | True (ray-contiguous compact stream) |
+    "sorted" (additionally sorted by per-ray kept count — arms the
+    per-tile-class caps)."""
+    return (bool(stream) and cfg.stream_dedup
             and cfg.encoder in ("brick", "fused"))
+
+
+def _head_class(cfg: NGPConfig, stream):
+    """(seg_head, head_frac) — tile-class caps only for SORTED streams:
+    on an unsorted stream the head tiles would hold arbitrary-length
+    segments and the tight breaks budget would overflow."""
+    if stream == "sorted":
+        return cfg.stream_seg_head, cfg.stream_head_frac
+    return 0, 0.0
 
 
 def _brick_encode(cfg: NGPConfig, bcfg, table, u, x_cm, stream):
@@ -235,12 +255,14 @@ def _brick_encode(cfg: NGPConfig, bcfg, table, u, x_cm, stream):
     sd = _storage_dt(cfg)
     if _use_stream(cfg, stream):
         from ..ops.streambrick import streambrick_encode
+        sh, hf = _head_class(cfg, stream)
         return streambrick_encode(
             bcfg, table, u if x_cm else u.T, tile=cfg.stream_tile,
             chunk=cfg.encode_chunk, remat=cfg.encode_remat,
             storage_dtype=sd, slack=cfg.stream_slack,
             seg_est=cfg.stream_seg,
-            direct_frac=cfg.stream_direct_frac)
+            direct_frac=cfg.stream_direct_frac,
+            seg_head=sh, head_frac=hf)
     return brickgrid_encode(bcfg, table, u, remat=cfg.encode_remat,
                             chunk=cfg.encode_chunk, storage_dtype=sd,
                             x_cm=x_cm)
@@ -319,12 +341,14 @@ def ngp_grad_cm(cfg: NGPConfig, params, x_cm, stream=False):
     def grad_encode(bcfg, table, jac_lo, jac_hi):
         if _use_stream(cfg, stream):
             from ..ops.streambrick import streambrick_encode_grad
+            sh, hf = _head_class(cfg, stream)
             return streambrick_encode_grad(
                 bcfg, table, u, tile=cfg.stream_tile,
                 chunk=cfg.encode_chunk, remat=cfg.encode_remat,
                 jac_lo=jac_lo, jac_hi=jac_hi, storage_dtype=sd,
                 slack=cfg.stream_slack, seg_est=cfg.stream_seg,
-                direct_frac=cfg.stream_direct_frac)
+                direct_frac=cfg.stream_direct_frac,
+                seg_head=sh, head_frac=hf)
         from ..ops.brickgrid import brickgrid_encode_grad
         return brickgrid_encode_grad(
             bcfg, table, u, remat=cfg.encode_remat,

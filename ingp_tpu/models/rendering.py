@@ -63,6 +63,15 @@ class RenderConfig:
     # path, so both paths composite the identical sample set.
     ray_dedup: bool = False
     dedup_slack: float = 1.5     # z-term headroom for gapped runs (run_caps)
+    # order rays by kept-sample count before packing the compact stream
+    # (stream-composite path only): tiles of the stream then hold
+    # segments of similar length, so the dedup encoder's per-tile-class
+    # run caps can be tight for long-segment tiles without overflowing
+    # on sky/grazing rays (PERF_NOTES round-3 root cause). Per-ray
+    # outputs are inverse-permuted — compositing semantics and the kept
+    # sample SET are unchanged (the global budget is applied before the
+    # sort, in the same sample-major order).
+    stream_sort: bool = True
 
     def march_cfg(self, model: NGPConfig) -> MarchConfig:
         return MarchConfig(
@@ -186,25 +195,53 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
         # All per-sample channel quantities are channel-major (C, K) /
         # (C, R, S): a trailing 3 pads to 128 TPU lanes (42x HBM
         # traffic).
-        plan = compact_samples(valid, K)
+        import os
+        use_stream_comp = (
+            not render_cfg.pallas_composite
+            and os.environ.get("INGP_STREAM_COMPOSITE", "1") == "1")
+        sort_rays = (use_stream_comp and render_cfg.stream_sort
+                     and os.environ.get("INGP_STREAM_SORT", "1") == "1")
+        if sort_rays:
+            # apply the global sample budget BEFORE sorting, in the
+            # same sample-major order as compact_samples — the kept
+            # sample SET is identical to the unsorted path; only the
+            # pack order changes (see RenderConfig.stream_sort)
+            cum = jnp.cumsum(valid.T.reshape(-1).astype(jnp.int32))
+            valid_b = valid & (cum.reshape(S, R).T <= K)
+            counts_r = jnp.sum(valid_b, -1)
+            perm = jnp.argsort(-counts_r)                  # descending
+            # multi-chunk encoders see one chunk at a time with the
+            # SAME static tile classes: stripe the sorted rays so
+            # every chunk receives the full length spectrum, each
+            # stripe still sorted descending internally
+            nc = max(1, -(-K // model_cfg.encode_chunk))
+            if nc > 1:
+                perm = jnp.concatenate([perm[c::nc] for c in range(nc)])
+            inv = jnp.argsort(perm)
+            valid_c, ts_c, deltas_c = valid_b[perm], ts[perm], deltas[perm]
+            o_c, d_c = o_cm[:, perm], d_cm[:, perm]
+            emb_c = embedding_a[perm] if embedding_a is not None else None
+        else:
+            valid_c, ts_c, deltas_c = valid, ts, deltas
+            o_c, d_c, emb_c, inv = o_cm, d_cm, embedding_a, None
+        plan = compact_samples(valid_c, K)
         rids = ray_ids_for(plan)
-        t_k = gather_samples(ts, plan)                     # (K,)
+        t_k = gather_samples(ts_c, plan)                   # (K,)
         # positions differentiate through rays (pose refinement) but
         # not t (RayMarcher backward, custom_functions.py:104-113)
-        dir_cm = d_cm[:, rids]                             # (3, K)
-        xyz_cm = o_cm[:, rids] + t_k[None] * dir_cm
-        emb_k = embedding_a[rids] if embedding_a is not None else None
+        dir_cm = d_c[:, rids]                              # (3, K)
+        xyz_cm = o_c[:, rids] + t_k[None] * dir_cm
+        emb_k = emb_c[rids] if emb_c is not None else None
 
         # the compact batch is ray-contiguous (ops/pack.py ray-major
         # order): stream-dedup encoding applies when configured
         sigmas_k, rgbs_cm, nraw_cm, npred_cm, sems_cm = ngp_forward_cm(
             model_cfg, params, xyz_cm, dir_cm, embedding_a=emb_k,
             exposure=exposure,
-            stop_header_grads=render_cfg.stop_header_grads, stream=True)
+            stop_header_grads=render_cfg.stop_header_grads,
+            stream="sorted" if sort_rays else True)
         pad = ~plan.slot_valid
         sigmas_k = jnp.where(pad, 0.0, sigmas_k)
-
-        import os
         # default-ON since round 4: the compositor's scans are EXACT
         # segmented scans (ops/composite._seg_scan) whose additions
         # never cross a ray boundary, so the round-3 failure mode —
@@ -215,13 +252,12 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
         # (test_composite_stream_production_scale_exact) and via the
         # 600-step TPU quality gate. INGP_STREAM_COMPOSITE=0 restores
         # the (R, S) scatter_back grid path for A/B runs.
-        if (not render_cfg.pallas_composite
-                and os.environ.get("INGP_STREAM_COMPOSITE", "1") == "1"):
+        if use_stream_comp:
             # stream compositing: per-ray scans run directly on the
             # ray-major compact batch — none of the per-sample channels
             # round-trips through the (R, S) grid (ops/composite.py
             # composite_stream)
-            dt_k = gather_samples(deltas, plan)
+            dt_k = gather_samples(deltas_c, plan)
             dn = dir_cm / jnp.maximum(
                 jnp.linalg.norm(dir_cm, axis=0, keepdims=True), 1e-6)
             ori_k = jnp.maximum(jnp.sum(nraw_cm * dn, 0), 0.0) ** 2
@@ -234,14 +270,22 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
                 sems=sems_cm,
                 normals_diff=(nraw_cm - npred_cm) ** 2,
                 normals_ori=ori_k)
-            results["ts"] = ts
-            results["deltas"] = deltas
-            results["valid"] = plan.cell_valid
-            results["total_samples"] = march["total_samples"]
+            ws_k = results.pop("ws")
             # (R, S)-shaped per-sample views kept for API parity with
             # the grid paths; DCE'd when nothing consumes them
             results["sigmas"] = scatter_back(sigmas_k, plan)
-            results["ws"] = scatter_back(results["ws"], plan)
+            results["ws"] = scatter_back(ws_k, plan)
+            results["valid"] = plan.cell_valid
+            if inv is not None:
+                # back to the caller's ray order: every per-ray and
+                # (R, S) array above was produced in sorted-ray space
+                results = {
+                    k: (v[inv] if hasattr(v, "ndim") and v.ndim >= 1
+                        and v.shape[0] == R else v)
+                    for k, v in results.items()}
+            results["ts"] = ts
+            results["deltas"] = deltas
+            results["total_samples"] = march["total_samples"]
             return _finish_render(model_cfg, render_cfg, params, results,
                                   rays_d, bg_color, skybox_gate, R)
 

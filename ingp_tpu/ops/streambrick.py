@@ -375,119 +375,200 @@ def _direct_reduce(cfg, g_d, local, frac, Lc, N, jac_lo, jac_hi,
                          level_lo=Lc, level_hi=L), None)
 
 
-def _encode_chunk_stream(cfg, table, storage, caps, Lc, TS, xT,
+def _tile_classes(cfg, tile, T, slack, seg_est, seg_head, head_frac,
+                  direct_frac):
+    """Static per-chunk tile classes [(caps, Lc, Tc)].
+
+    With seg_head/head_frac set (and the stream SORTED by per-ray kept
+    count, rendering.RenderConfig.stream_sort), the chunk's first
+    head_frac tiles hold the longest segments — their ray-boundary
+    BREAKS budget can be tile/seg_head (tight) instead of the
+    worst-case tile/seg_est the round-3 calibration needed for
+    short-segment-rich tiles. Tail tiles keep the generous caps.
+    Tighter caps also push more mid levels under the dedup threshold
+    (split_levels), compounding the row savings. Overflow marking
+    stays active in both classes (zero-feature degradation, never
+    corruption)."""
+    caps_tail = stream_caps(cfg, tile, slack=slack, seg_est=seg_est)
+    Lc_tail = split_levels(caps_tail, tile, direct_frac)
+    if not seg_head or head_frac <= 0.0 or T < 16:
+        return [(caps_tail, Lc_tail, T)]
+    Th = int(T * head_frac) // 8 * 8
+    if Th <= 0 or Th >= T:
+        return [(caps_tail, Lc_tail, T)]
+    caps_head = stream_caps(cfg, tile, slack=slack, seg_est=seg_head)
+    Lc_head = split_levels(caps_head, tile, direct_frac)
+    return [(caps_head, Lc_head, Th), (caps_tail, Lc_tail, T - Th)]
+
+
+def _encode_chunk_stream(cfg, table, storage, classes, TS, xT,
                          jac_lo, jac_hi, with_jac):
     """One chunk: xT (3, Nc) ray-contiguous positions, Nc = T*TS.
+    classes: [(caps, Lc, Tc)] consecutive tile ranges (_tile_classes).
 
     Production (grouped) path: every gather of the chunk — one per
-    level group plus the direct fine-level block — rides ONE
-    table_gather_multi call, so the backward runs a single chain of
-    in-place scatter-adds into one accumulator instead of per-gather
-    zero tables combined by full-table add passes (ops/gather.py).
+    level group per class plus the direct fine-level blocks — rides
+    ONE table_gather_multi call, so the backward runs a single chain
+    of in-place scatter-adds into one accumulator instead of
+    per-gather zero tables combined by full-table add passes
+    (ops/gather.py).
     """
     import os
     N = xT.shape[1]
-    T = N // TS
     L, F = cfg.n_levels, cfg.n_features
     rows, local, frac = brick_coords(cfg, xT)               # (L, N) ...
 
-    grouped, interp = (_grouped_mode(cfg, TS, T, jac_lo, jac_hi,
-                                     with_jac) if Lc > 0
-                       else (False, False))
-    if grouped or Lc == 0:
+    modes = [(_grouped_mode(cfg, TS, Tc, jac_lo, jac_hi, with_jac)
+              if Lc > 0 else (True, False))
+             for _, Lc, Tc in classes]
+    if all(m[0] for m in modes):
         keep = os.environ.get("INGP_GATHER_KEEP_DTYPE", "1") == "1"
-        plans = []
-        idx_list, keeps = [], []
-        if Lc > 0:
-            rows_c = rows[:Lc].reshape(Lc, T, TS)
-            plans = _plan_groups(caps[:Lc], rows_c, T, TS)
-            idx_list = [p[4].reshape(-1) for p in plans]
-            keeps = [keep] * len(plans)
-        if Lc < L:
-            idx_list.append(rows[Lc:].reshape(-1))
-            # direct block stays at storage dtype too: the reduce dot
-            # fusions upconvert on the fly, so the (Ld*N, W) block is
-            # written and re-read at half the bytes
-            keeps.append(keep)
+        idx_list, keeps, metas = [], [], []
+        n0 = 0
+        for (caps, Lc, Tc), (_, interp) in zip(classes, modes):
+            Nc = Tc * TS
+            sl = slice(n0, n0 + Nc)
+            plans = []
+            if Lc > 0:
+                rows_c = rows[:Lc, sl].reshape(Lc, Tc, TS)
+                plans = _plan_groups(caps[:Lc], rows_c, Tc, TS)
+                idx_list += [p[4].reshape(-1) for p in plans]
+                keeps += [keep] * len(plans)
+            di = None
+            if Lc < L:
+                di = len(idx_list)
+                idx_list.append(rows[Lc:, sl].reshape(-1))
+                # direct block stays at storage dtype too: the reduce
+                # dot fusions upconvert on the fly, so the (Ld*N, W)
+                # block is written and re-read at half the bytes
+                keeps.append(keep)
+            metas.append((Lc, Tc, sl, plans, di, interp))
+            n0 += Nc
         g_list = table_gather_multi(table, idx_list, storage=storage,
                                     keep_storage_dtype=keeps)
+        feats_parts, jac_parts = [], []
+        gi = 0
+        for Lc, Tc, sl, plans, di, interp in metas:
+            Nc = Tc * TS
+            if Lc > 0:
+                feats_c, jac_c = _grouped_reduce(
+                    cfg, plans, g_list[gi:gi + len(plans)],
+                    local[:, :Lc, sl].reshape(3, Lc, Tc, TS),
+                    frac[:, :Lc, sl].reshape(3, Lc, Tc, TS),
+                    Tc, TS, jac_lo, jac_hi, with_jac, interp)
+                gi += len(plans)
+            if Lc == 0:
+                feats_k, jac_k = _direct_reduce(
+                    cfg, g_list[di], local[:, :, sl], frac[:, :, sl],
+                    0, Nc, jac_lo, jac_hi, with_jac)
+            elif Lc < L:
+                feats_d, jac_d = _direct_reduce(
+                    cfg, g_list[di], local[:, :, sl], frac[:, :, sl],
+                    Lc, Nc, jac_lo, jac_hi, with_jac)
+                feats_k = jnp.concatenate([feats_c, feats_d], axis=1)
+                jac_k = jnp.concatenate([jac_c, jac_d], axis=2) \
+                    if with_jac else None
+            else:
+                feats_k, jac_k = feats_c, jac_c
+            if di is not None:
+                gi += 1
+            feats_parts.append(feats_k)
+            jac_parts.append(jac_k)
+        feats = feats_parts[0] if len(feats_parts) == 1 \
+            else jnp.concatenate(feats_parts, axis=0)
+        if not with_jac:
+            return feats
+        jac = jac_parts[0] if len(jac_parts) == 1 \
+            else jnp.concatenate(jac_parts, axis=1)
+        return feats, jac
+
+    # XLA fallback: per class, dedup via _dedup_feats + direct gathers
+    feats_parts, jac_parts = [], []
+    n0 = 0
+    for caps, Lc, Tc in classes:
+        Nc = Tc * TS
+        sl = slice(n0, n0 + Nc)
+        n0 += Nc
         if Lc > 0:
-            feats_c, jac_c = _grouped_reduce(
-                cfg, plans, g_list, local[:, :Lc].reshape(3, Lc, T, TS),
-                frac[:, :Lc].reshape(3, Lc, T, TS), T, TS, jac_lo,
-                jac_hi, with_jac, interp)
-        if Lc == 0:
-            feats, jac = _direct_reduce(cfg, g_list[-1], local, frac,
-                                        0, N, jac_lo, jac_hi, with_jac)
-        elif Lc < L:
+            feats_c, jac_c = _dedup_feats(
+                cfg, table, storage, rows[:Lc, sl].reshape(Lc, Tc, TS),
+                local[:, :Lc, sl], frac[:, :Lc, sl],
+                caps[:Lc], Tc, TS, jac_lo, jac_hi, with_jac)
+        if Lc < L:
+            # direct half: per-sample gather, shared reducers
+            g_d = table_gather(table, rows[Lc:, sl].reshape(-1), axis=0,
+                               storage=storage)             # (Ld*Nc, W)
             feats_d, jac_d = _direct_reduce(
-                cfg, g_list[-1], local, frac, Lc,
-                N, jac_lo, jac_hi, with_jac)
-            feats = jnp.concatenate([feats_c, feats_d], axis=1)
-            jac = jnp.concatenate([jac_c, jac_d], axis=2) if with_jac \
-                else None
+                cfg, g_d, local[:, :, sl], frac[:, :, sl], Lc, Nc,
+                jac_lo, jac_hi, with_jac)
+            if Lc > 0:
+                feats_k = jnp.concatenate([feats_c, feats_d], axis=1)
+                jac_k = jnp.concatenate([jac_c, jac_d], axis=2) \
+                    if with_jac else None
+            else:
+                feats_k, jac_k = feats_d, jac_d
         else:
-            feats, jac = feats_c, jac_c
-        return (feats, jac) if with_jac else feats
-
-    feats_c, jac_c = _dedup_feats(
-        cfg, table, storage, rows[:Lc].reshape(Lc, T, TS),
-        local[:, :Lc], frac[:, :Lc],
-        caps[:Lc], T, TS, jac_lo, jac_hi, with_jac)
-
-    if Lc < L:
-        # direct half: per-sample gather, shared reducers
-        g_d = table_gather(table, rows[Lc:].reshape(-1), axis=0,
-                           storage=storage)                 # (Ld*N, W)
-        feats_d, jac_d = _direct_reduce(cfg, g_d, local, frac, Lc, N,
-                                        jac_lo, jac_hi, with_jac)
-        feats = jnp.concatenate([feats_c, feats_d], axis=1)
-        jac = jnp.concatenate([jac_c, jac_d], axis=2) if with_jac \
-            else None
-    else:
-        feats, jac = feats_c, jac_c
-    return (feats, jac) if with_jac else feats
+            feats_k, jac_k = feats_c, jac_c
+        feats_parts.append(feats_k)
+        jac_parts.append(jac_k)
+    feats = feats_parts[0] if len(feats_parts) == 1 \
+        else jnp.concatenate(feats_parts, axis=0)
+    if not with_jac:
+        return feats
+    jac = jac_parts[0] if len(jac_parts) == 1 \
+        else jnp.concatenate(jac_parts, axis=1)
+    return feats, jac
 
 
 @partial(jax.jit, static_argnames=("cfg", "tile", "chunk", "remat",
                                    "storage_dtype", "slack", "seg_est",
-                                   "direct_frac"))
+                                   "direct_frac", "seg_head",
+                                   "head_frac"))
 def streambrick_encode(cfg: BrickGridConfig, table, x_cm,
                        tile: int = 256, chunk: int = 65536,
                        remat: bool = True, storage_dtype=None,
                        slack: float = 1.5, seg_est: int = 4,
-                       direct_frac: float = 0.7):
+                       direct_frac: float = 0.7, seg_head: int = 0,
+                       head_frac: float = 0.0):
     """Encode a ray-contiguous compact stream x_cm (3, N) in [0,1]^3
-    -> (N, L*F) features. N is padded internally to the tile size."""
+    -> (N, L*F) features. N is padded internally to the tile size.
+
+    seg_head/head_frac enable per-tile-CLASS run caps (_tile_classes);
+    only valid when the stream is sorted by per-ray kept count."""
     L, F = cfg.n_levels, cfg.n_features
     storage = storage_cast(table, storage_dtype)
     x = x_cm.astype(jnp.float32)
     N = x.shape[1]
-    caps = stream_caps(cfg, tile, slack=slack, seg_est=seg_est)
-    Lc = split_levels(caps, tile, direct_frac)
     pad = (-N) % (chunk if N > chunk else _single_pad(tile, chunk))
     xp = jnp.pad(x, ((0, 0), (0, pad)))
     if xp.shape[1] > chunk:
+        classes = _tile_classes(cfg, tile, chunk // tile, slack,
+                                seg_est, seg_head, head_frac,
+                                direct_frac)
         body = lambda c: _encode_chunk_stream(
-            cfg, table, storage, caps, Lc, tile, c, 0, None, False)
+            cfg, table, storage, classes, tile, c, 0, None, False)
         if remat:
             body = jax.checkpoint(body, policy=_SAVE_PLAN)
         xs = jnp.moveaxis(xp.reshape(3, -1, chunk), 1, 0)
         out = jax.lax.map(body, xs)
         return out.reshape(-1, L * F)[:N]
-    return _encode_chunk_stream(cfg, table, storage, caps, Lc, tile,
+    classes = _tile_classes(cfg, tile, xp.shape[1] // tile, slack,
+                            seg_est, seg_head, head_frac, direct_frac)
+    return _encode_chunk_stream(cfg, table, storage, classes, tile,
                                 xp, 0, None, False)[:N]
 
 
 @partial(jax.jit, static_argnames=("cfg", "tile", "chunk", "remat",
                                    "jac_lo", "jac_hi", "storage_dtype",
-                                   "slack", "seg_est", "direct_frac"))
+                                   "slack", "seg_est", "direct_frac",
+                                   "seg_head", "head_frac"))
 def streambrick_encode_grad(cfg: BrickGridConfig, table, x_cm,
                             tile: int = 256, chunk: int = 65536,
                             remat: bool = True, jac_lo: int = 0,
                             jac_hi: int | None = None,
                             storage_dtype=None, slack: float = 1.5,
-                            seg_est: int = 4, direct_frac: float = 0.7):
+                            seg_est: int = 4, direct_frac: float = 0.7,
+                            seg_head: int = 0, head_frac: float = 0.0):
     """Encode + analytic jacobian over a ray-contiguous stream.
 
     Returns (feats (N, L*F), jac (3, N, L*Fj))."""
@@ -496,19 +577,22 @@ def streambrick_encode_grad(cfg: BrickGridConfig, table, x_cm,
     storage = storage_cast(table, storage_dtype)
     x = x_cm.astype(jnp.float32)
     N = x.shape[1]
-    caps = stream_caps(cfg, tile, slack=slack, seg_est=seg_est)
-    Lc = split_levels(caps, tile, direct_frac)
     pad = (-N) % (chunk if N > chunk else _single_pad(tile, chunk))
     xp = jnp.pad(x, ((0, 0), (0, pad)))
     if xp.shape[1] > chunk:
+        classes = _tile_classes(cfg, tile, chunk // tile, slack,
+                                seg_est, seg_head, head_frac,
+                                direct_frac)
         body = lambda c: _encode_chunk_stream(
-            cfg, table, storage, caps, Lc, tile, c, jac_lo, jac_hi, True)
+            cfg, table, storage, classes, tile, c, jac_lo, jac_hi, True)
         if remat:
             body = jax.checkpoint(body, policy=_SAVE_PLAN)
         xs = jnp.moveaxis(xp.reshape(3, -1, chunk), 1, 0)
         feats, jac = jax.lax.map(body, xs)
         return (feats.reshape(-1, L * F)[:N],
                 jnp.moveaxis(jac, 1, 0).reshape(3, -1, L * Fj)[:, :N])
-    feats, jac = _encode_chunk_stream(cfg, table, storage, caps, Lc,
+    classes = _tile_classes(cfg, tile, xp.shape[1] // tile, slack,
+                            seg_est, seg_head, head_frac, direct_frac)
+    feats, jac = _encode_chunk_stream(cfg, table, storage, classes,
                                       tile, xp, jac_lo, jac_hi, True)
     return feats[:N], jac[:, :N]

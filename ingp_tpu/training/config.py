@@ -132,6 +132,21 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--stream_tile", type=int, default=256)
     parser.add_argument("--stream_slack", type=float, default=1.5)
     parser.add_argument("--stream_seg", type=int, default=4)
+    parser.add_argument("--stream_direct_frac", type=float, default=0.7,
+                        help="levels whose run cap exceeds this "
+                             "fraction of the tile skip dedup (direct "
+                             "per-sample gather); 0.0 = per-sample-"
+                             "exact everywhere")
+    parser.add_argument("--no_stream_sort", dest="stream_sort",
+                        action="store_false", default=True,
+                        help="disable kept-count ray ordering of the "
+                             "compact stream (stream-composite path)")
+    parser.add_argument("--stream_seg_head", type=int, default=20,
+                        help="tight breaks budget (tile/seg) for the "
+                             "head tile class of a SORTED stream")
+    parser.add_argument("--stream_head_frac", type=float, default=0.0,
+                        help="fraction of each chunk's tiles in the "
+                             "tight head class (0 = single class)")
     parser.add_argument("--sparsity_loss", type=float, default=0.0,
                         help="global mean-sigma sparsity prior weight "
                              "(carves unsupervised fog; not in the "

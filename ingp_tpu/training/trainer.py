@@ -66,6 +66,8 @@ def model_config_from_hparams(h) -> NGPConfig:
         stream_slack=getattr(h, "stream_slack", 1.5),
         stream_seg=getattr(h, "stream_seg", 4),
         stream_direct_frac=getattr(h, "stream_direct_frac", 0.7),
+        stream_seg_head=getattr(h, "stream_seg_head", 20),
+        stream_head_frac=getattr(h, "stream_head_frac", 0.0),
     )
 
 
@@ -100,6 +102,7 @@ def render_config_from_hparams(h, test=False) -> RenderConfig:
         pallas_composite=getattr(h, "pallas_composite", False),
         ray_dedup=ray_dedup,
         dedup_slack=getattr(h, "dedup_slack", 1.5),
+        stream_sort=getattr(h, "stream_sort", True),
     )
 
 

@@ -33,6 +33,55 @@ def ray_stream(key, n_rays=40, max_seg=24):
     return jnp.asarray(x.T)                       # (3, N)
 
 
+def test_tile_class_split_matches_single_class():
+    """Head/tail tile classes with IDENTICAL caps (seg_head == seg_est)
+    reproduce the single-class encoder exactly — exercises the
+    class-split plumbing (per-class plans, shared multi-gather
+    accumulator, feats/jac/grad concatenation) with zero semantic
+    change."""
+    key = jax.random.PRNGKey(50)
+    table = brickgrid_init(key, CFG)
+    x = ray_stream(jax.random.PRNGKey(51), n_rays=220)
+    f_ref, j_ref = streambrick_encode_grad(CFG, table, x, tile=128)
+    f, j = streambrick_encode_grad(CFG, table, x, tile=128,
+                                   seg_head=4, head_frac=0.5)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_ref),
+                               rtol=1e-6, atol=1e-6)
+    wf = jax.random.normal(jax.random.PRNGKey(52),
+                           (x.shape[1], CFG.out_dim))
+    g_ref = jax.grad(lambda t: jnp.sum(
+        streambrick_encode(CFG, t, x, tile=128) * wf))(table)
+    g = jax.grad(lambda t: jnp.sum(
+        streambrick_encode(CFG, t, x, tile=128, seg_head=4,
+                           head_frac=0.5) * wf))(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_tight_head_class_exact_on_long_segments():
+    """A sorted stream of uniformly LONG segments: the tight head-class
+    breaks budget (seg_head 20) never overflows, so the two-class
+    encoder must match the per-sample brick encoder exactly on both
+    classes."""
+    key = jax.random.PRNGKey(54)
+    table = brickgrid_init(key, CFG)
+    rng = np.random.default_rng(55)
+    n_rays, seg = 128, 24
+    o = rng.random((n_rays, 3)) * 0.5 + 0.25
+    d = rng.standard_normal((n_rays, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t = np.arange(seg)[None, :, None] * (np.sqrt(3) / 1024)
+    x = np.clip(o[:, None] + t * d[:, None], 0, 1)
+    x = jnp.asarray(x.reshape(-1, 3).astype(np.float32).T)
+    ref = brickgrid_encode(CFG, table, x, x_cm=True)
+    out = streambrick_encode(CFG, table, x, tile=128,
+                             seg_head=20, head_frac=0.75)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_caps_and_split_are_sane():
     caps = stream_caps(CFG, 256)
     assert len(caps) == 8 and list(caps) == sorted(caps)
