@@ -77,20 +77,40 @@ def _axis_w(lane, loc, fr):
     return at0 * (1.0 - fr) + at1 * fr, at1 - at0
 
 
+def _point_coords():
+    """Point-DOMAIN lane coords: lane p (one 128-lane register row)
+    holds lattice point p; points 27..127 are padding (-1 -> zero
+    weight in _axis_w)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    valid = p < _PTS
+    pi = jnp.where(valid, p // (_P * _P), -1)
+    pj = jnp.where(valid, (p // _P) % _P, -1)
+    pk = jnp.where(valid, p % _P, -1)
+    return pi, pj, pk
+
+
+def _plane_weights(lf, pcoords, W, F):
+    """The 4 trilerp weight planes (w, dwx*wyz, dwy*wxz, dwz*wxy) on
+    (T, W), built in the 27-POINT domain (one 128-lane register row
+    per op instead of W = 32F lanes) and expanded lane-wise by an
+    F-fold element repeat (lane q of the row layout holds point
+    q // F). The per-lane construction was the fused kernels'
+    dominant VPU cost (PERF_NOTES round-3 trace); the point-domain
+    build does the same compares/selects on 128/W of the lanes."""
+    pi, pj, pk = pcoords
+    ax, dax = _axis_w(pi, lf[0][:, None], lf[3][:, None])
+    ay, day = _axis_w(pj, lf[1][:, None], lf[4][:, None])
+    az, daz = _axis_w(pk, lf[2][:, None], lf[5][:, None])
+    ayz = ay * az
+    planes = (ax * ayz, dax * ayz, day * (ax * az), daz * (ax * ay))
+    return tuple(jnp.repeat(p, F, axis=1)[:, :W] for p in planes)
+
+
 def _fwd_kernel(F, g_ref, lf_ref, sel_ref, feats_ref, jac_ref):
     W = g_ref.shape[1]
     g = g_ref[...].astype(jnp.float32)                     # (T, W)
-    li, lj, lk, _ = _lane_coords(W, F)
-    lx = lf_ref[0][:, None]
-    ly = lf_ref[1][:, None]
-    lz = lf_ref[2][:, None]
-    fx = lf_ref[3][:, None]
-    fy = lf_ref[4][:, None]
-    fz = lf_ref[5][:, None]
-    sc = lf_ref[6][:, None]
-    wx, dwx = _axis_w(li, lx, fx)
-    wy, dwy = _axis_w(lj, ly, fy)
-    wz, dwz = _axis_w(lk, lz, fz)
+    lf = lf_ref[...]
+    w, d1, d2, d3 = _plane_weights(lf, _point_coords(), W, F)
     sel = sel_ref[...]                                     # (W, F)
 
     def red(wprod):
@@ -99,27 +119,19 @@ def _fwd_kernel(F, g_ref, lf_ref, sel_ref, feats_ref, jac_ref):
             sel, g * wprod, (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    feats_ref[...] = red(wx * wy * wz)
+    feats_ref[...] = red(w)
     scT = lf_ref[6][None, :]
-    jac_ref[0:F] = red(dwx * wy * wz) * scT
-    jac_ref[F:2 * F] = red(wx * dwy * wz) * scT
-    jac_ref[2 * F:] = red(wx * wy * dwz) * scT
-    del sc
+    jac_ref[0:F] = red(d1) * scT
+    jac_ref[F:2 * F] = red(d2) * scT
+    jac_ref[2 * F:] = red(d3) * scT
 
 
 def _bwd_kernel(F, lf_ref, df_ref, dj_ref, dg_ref):
     W = dg_ref.shape[1]
     li, lj, lk, lane_f = _lane_coords(W, F)
-    lx = lf_ref[0][:, None]
-    ly = lf_ref[1][:, None]
-    lz = lf_ref[2][:, None]
-    fx = lf_ref[3][:, None]
-    fy = lf_ref[4][:, None]
-    fz = lf_ref[5][:, None]
+    lf = lf_ref[...]
+    w, d1, d2, d3 = _plane_weights(lf, _point_coords(), W, F)
     sc = lf_ref[6][:, None]
-    wx, dwx = _axis_w(li, lx, fx)
-    wy, dwy = _axis_w(lj, ly, fy)
-    wz, dwz = _axis_w(lk, lz, fz)
 
     def bcast(ct):
         # ct (F, T) -> (T, W) via lane % F (the S^T contraction)
@@ -128,10 +140,9 @@ def _bwd_kernel(F, lf_ref, df_ref, dj_ref, dg_ref):
             out += jnp.where(lane_f == f, ct[f][:, None], 0.0)
         return out
 
-    dg = bcast(df_ref[...]) * (wx * wy * wz)
-    dg += bcast(dj_ref[0:F]) * (dwx * wy * wz) * sc
-    dg += bcast(dj_ref[F:2 * F]) * (wx * dwy * wz) * sc
-    dg += bcast(dj_ref[2 * F:]) * (wx * wy * dwz) * sc
+    dg = bcast(df_ref[...]) * w
+    dg += (bcast(dj_ref[0:F]) * d1 + bcast(dj_ref[F:2 * F]) * d2
+           + bcast(dj_ref[2 * F:]) * d3) * sc
     # zero the padding lanes so the table-gradient scatter stays clean
     dg_ref[...] = jnp.where(li >= 0, dg, 0.0)
 

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from .brickreduce_pallas import (_lane_coords, _axis_w, _select_matrix,
+                                 _point_coords, _plane_weights,
                                  pallas_supported, _PTS)
 
 RAY_TILE = 8        # rays per grid step
@@ -75,15 +76,10 @@ def rayreduce_supported(brick_size: int, n_features: int, row_width: int,
             and _pick_kslab(K) > 0 and R % RAY_TILE == 0)
 
 
-def _weights(lf, lanes):
-    """lanes: precomputed (li, lj, lk, lane_f) — constant per kernel,
-    hoisted out of the per-ray loop (recomputing the iota+compares per
-    ray measured as real VPU time at stream-path grid sizes)."""
-    li, lj, lk, lane_f = lanes
-    wx, dwx = _axis_w(li, lf[0][:, None], lf[3][:, None])
-    wy, dwy = _axis_w(lj, lf[1][:, None], lf[4][:, None])
-    wz, dwz = _axis_w(lk, lf[2][:, None], lf[5][:, None])
-    return (wx, wy, wz, dwx, dwy, dwz, lf[6][:, None], lane_f, li)
+# _point_coords/_plane_weights shared with brickreduce_pallas: the
+# factored point-domain weight build is the round-4 kernel lever
+# (PERF_NOTES: the weight-plane construction, not the MXU dots, set
+# the 43.8 ms/step fused-kernel time).
 
 
 # Both kernels process the tile one RAY at a time: the (KS, W) weight
@@ -105,21 +101,18 @@ def _fwd_kernel(F, Fj, U, with_jac, G_ref, uid_ref, lf_ref, sel_ref,
     # the f32 expansion bit-for-bit; accumulation stays f32.
     mm_dt = G_ref.dtype
     u_iota = jax.lax.broadcasted_iota(jnp.int32, (KS, U), 1)
-    lanes = _lane_coords(W, F)
+    pcoords = _point_coords()
     for r in range(TR):
         oh = (uid_ref[r][:, None] == u_iota).astype(mm_dt)
         g = jax.lax.dot_general(
             oh, G_ref[r], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (KS, W)
         lf = lf_ref[:, r, :]                               # (8, KS)
-        wx, wy, wz, dwx, dwy, dwz, sc, _, _ = _weights(lf, lanes)
+        w, d1, d2, d3 = _plane_weights(lf, pcoords, W, F)
 
         if with_jac:
-            p_yz = wy * wz
             big = jnp.concatenate(
-                [g * (wx * p_yz), g * (dwx * p_yz),
-                 g * (dwy * (wx * wz)), g * (dwz * (wx * wy))],
-                axis=1)                                    # (KS, 4W)
+                [g * w, g * d1, g * d2, g * d3], axis=1)   # (KS, 4W)
             out = jax.lax.dot_general(
                 sel_ref[...], big, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)        # (F+3Fj, KS)
@@ -128,7 +121,7 @@ def _fwd_kernel(F, Fj, U, with_jac, G_ref, uid_ref, lf_ref, sel_ref,
             jac_ref[0][:, r, :] = out[F:] * scT
         else:
             feats_ref[:, r, :] = jax.lax.dot_general(
-                sel_ref[...], g * (wx * wy * wz),
+                sel_ref[...], g * w,
                 (((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)        # (F, KS)
 
@@ -147,10 +140,12 @@ def _bwd_kernel(F, Fj, Uc, with_jac, mm_dt, selT_ref, uid_ref, lf_ref,
     first = pl.program_id(2) == 0
     u_base = pl.program_id(1) * Uc
     u_iota = jax.lax.broadcasted_iota(jnp.int32, (KS, Uc), 1) + u_base
-    lanes = _lane_coords(W, F)
+    li = _lane_coords(W, F)[0]
+    pcoords = _point_coords()
     for r in range(TR):
         lf = lf_ref[:, r, :]
-        wx, wy, wz, dwx, dwy, dwz, sc, _, li = _weights(lf, lanes)
+        w, d1, d2, d3 = _plane_weights(lf, pcoords, W, F)
+        sc = lf[6][:, None]
 
         if with_jac:
             # ONE S^T contraction for all four cotangent groups: selT
@@ -162,14 +157,14 @@ def _bwd_kernel(F, Fj, Uc, with_jac, mm_dt, selT_ref, uid_ref, lf_ref,
             big = jax.lax.dot_general(
                 ct_all, selT_ref[...], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # (KS, 4W)
-            dg = (big[:, 0:W] * (wx * wy * wz)
-                  + (big[:, W:2 * W] * (dwx * wy * wz)
-                     + big[:, 2 * W:3 * W] * (wx * dwy * wz)
-                     + big[:, 3 * W:] * (wx * wy * dwz)) * sc)
+            dg = (big[:, 0:W] * w
+                  + (big[:, W:2 * W] * d1
+                     + big[:, 2 * W:3 * W] * d2
+                     + big[:, 3 * W:] * d3) * sc)
         else:
             dg = jax.lax.dot_general(
                 df_ref[:, r, :], selT_ref[...], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * (wx * wy * wz)
+                preferred_element_type=jnp.float32) * w
         dg = jnp.where(li >= 0, dg, 0.0)                   # padding lanes
 
         # the expansion transpose runs at the table storage precision
