@@ -72,9 +72,15 @@ def _lane_coords(W, F):
 
 
 def _axis_w(lane, loc, fr):
-    at0 = (lane == loc).astype(jnp.float32)
-    at1 = (lane == loc + 1).astype(jnp.float32)
-    return at0 * (1.0 - fr) + at1 * fr, at1 - at0
+    # where-chains instead of mask-arithmetic: the two compares are
+    # CSE'd between w and d, and the selects skip the f32 converts and
+    # multiply-adds of the at0*(1-fr)+at1*fr form — these planes are
+    # the fused kernels' dominant VPU cost
+    at0 = lane == loc
+    at1 = lane == loc + 1
+    w = jnp.where(at0, 1.0 - fr, jnp.where(at1, fr, 0.0))
+    d = jnp.where(at0, -1.0, jnp.where(at1, 1.0, 0.0))
+    return w, d
 
 
 def _point_coords():
@@ -91,19 +97,34 @@ def _point_coords():
 
 def _plane_weights(lf, pcoords, W, F):
     """The 4 trilerp weight planes (w, dwx*wyz, dwy*wxz, dwz*wxy) on
-    (T, W), built in the 27-POINT domain (one 128-lane register row
-    per op instead of W = 32F lanes) and expanded lane-wise by an
-    F-fold element repeat (lane q of the row layout holds point
-    q // F). The per-lane construction was the fused kernels'
-    dominant VPU cost (PERF_NOTES round-3 trace); the point-domain
-    build does the same compares/selects on 128/W of the lanes."""
-    pi, pj, pk = pcoords
-    ax, dax = _axis_w(pi, lf[0][:, None], lf[3][:, None])
-    ay, day = _axis_w(pj, lf[1][:, None], lf[4][:, None])
-    az, daz = _axis_w(pk, lf[2][:, None], lf[5][:, None])
-    ayz = ay * az
-    planes = (ax * ayz, dax * ayz, day * (ax * az), daz * (ax * ay))
-    return tuple(jnp.repeat(p, F, axis=1)[:, :W] for p in planes)
+    (T, W).
+
+    INGP_FACTORED_W=1 builds them in the 27-POINT domain (one 128-lane
+    register row per op instead of W = 32F lanes) and expands
+    lane-wise by an F-fold element repeat (lane q of the row layout
+    holds point q // F) — the per-lane construction is the fused
+    kernels' dominant VPU cost (PERF_NOTES round-3 trace). DEFAULT
+    OFF: Mosaic currently rejects every element-repeat lowering along
+    the lane axis (`jnp.repeat` -> "infer-vector-layout: unsupported
+    shape cast"; `pltpu.repeat` is tile-repeat, wrong semantics), so
+    the compiled path uses the per-lane build; the factored path runs
+    under interpret mode / future Mosaic versions."""
+    import os
+    if os.environ.get("INGP_FACTORED_W", "0") == "1":
+        pi, pj, pk = pcoords
+        ax, dax = _axis_w(pi, lf[0][:, None], lf[3][:, None])
+        ay, day = _axis_w(pj, lf[1][:, None], lf[4][:, None])
+        az, daz = _axis_w(pk, lf[2][:, None], lf[5][:, None])
+        ayz = ay * az
+        planes = (ax * ayz, dax * ayz, day * (ax * az),
+                  daz * (ax * ay))
+        return tuple(jnp.repeat(p, F, axis=1)[:, :W] for p in planes)
+    li, lj, lk, _ = _lane_coords(W, F)
+    wx, dwx = _axis_w(li, lf[0][:, None], lf[3][:, None])
+    wy, dwy = _axis_w(lj, lf[1][:, None], lf[4][:, None])
+    wz, dwz = _axis_w(lk, lf[2][:, None], lf[5][:, None])
+    p_yz = wy * wz
+    return (wx * p_yz, dwx * p_yz, dwy * (wx * wz), dwz * (wx * wy))
 
 
 def _fwd_kernel(F, g_ref, lf_ref, sel_ref, feats_ref, jac_ref):

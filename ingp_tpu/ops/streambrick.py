@@ -397,7 +397,13 @@ def _tile_classes(cfg, tile, T, slack, seg_est, seg_head, head_frac,
     if Th <= 0 or Th >= T:
         return [(caps_tail, Lc_tail, T)]
     caps_head = stream_caps(cfg, tile, slack=slack, seg_est=seg_head)
-    Lc_head = split_levels(caps_head, tile, direct_frac)
+    # SAME level split as the tail: tighter caps would pull 1-2 more
+    # mid levels under the dedup threshold, but the extra per-level
+    # plan + fused-kernel + backward-dG machinery measured MORE
+    # expensive than the direct rows it saves
+    # (benchmarking/probe_headclass.py) — the head class only tightens
+    # caps on the level set that already dedups.
+    Lc_head = min(split_levels(caps_head, tile, direct_frac), Lc_tail)
     return [(caps_head, Lc_head, Th), (caps_tail, Lc_tail, T - Th)]
 
 

@@ -638,17 +638,20 @@ class NeRFSystem:
                 self._dump_val_images(ckpt_dir, step)
             if ckpt_mgr and (step + 1) % h.steps_per_epoch == 0:
                 # non-blocking: serialization overlaps the next steps
-                ckpt_mgr.save(step + 1, self.state())
+                ckpt_mgr.save(step + 1, self._ckpt_state())
         if native is not None:
             native.close()
         if logger:
             logger.close()
         if ckpt_mgr:
             ckpt_mgr.close()
-        if ckpt_dir and main:
+        if ckpt_dir:
+            # all processes: orbax coordinates multi-host writes (a
+            # main-only save of replicated-on-the-mesh arrays would
+            # wait forever on the other hosts' shards)
             self.save(os.path.join(ckpt_dir, "last"))
             save_ckpt(os.path.join(ckpt_dir, "last_slim"),
-                      slim_state(self.state()))
+                      slim_state(self._ckpt_state()))
         return self
 
     def _dump_val_images(self, ckpt_dir, step):
@@ -683,8 +686,32 @@ class NeRFSystem:
         return {"params": self.params, "opt_state": self.opt_state,
                 "grid": self.grid, "step": self.global_step}
 
+    def _ckpt_state(self):
+        """state() with every leaf serializable in THIS process
+        topology. Multi-host: params/opt_state live replicated on the
+        global mesh (orbax handles them), but the occupancy grid is
+        updated by a per-process jit — host-local single-device
+        arrays, which orbax refuses to serialize multi-host. They are
+        bitwise identical on every host (same deterministic update on
+        replicated inputs), so re-wrap them as mesh-replicated global
+        arrays."""
+        state = self.state()
+        if jax.process_count() <= 1 or self.mesh is None:
+            return state
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as P
+        n_glob = len(jax.devices())
+
+        def glob(x):
+            if (isinstance(x, jax.Array)
+                    and len(x.sharding.device_set) < n_glob):
+                return multihost_utils.host_local_array_to_global_array(
+                    np.asarray(x), self.mesh, P())
+            return x
+        return jax.tree.map(glob, state)
+
     def save(self, path):
-        save_ckpt(path, self.state())
+        save_ckpt(path, self._ckpt_state())
 
     def load(self, path):
         self.load_state(load_ckpt(path))

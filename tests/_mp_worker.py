@@ -73,3 +73,24 @@ if rank == 0:
     np.save(os.path.join(outdir, "psnr.npy"), np.asarray(m["psnr"]))
 print(f"rank {rank}: done loss={float(aux['loss']):.6f} "
       f"val_psnr={m['psnr']:.3f}")
+
+# --- multi-host checkpoint save + preemption resume ------------------
+# EVERY process participates in the orbax save and restore (advisor r3
+# medium finding: a host-0-only restore leaves the other hosts at
+# fresh init/global_step=0 and desyncs the collectives).
+import copy  # noqa: E402
+
+h2 = copy.deepcopy(h)
+h2.steps_per_epoch = 2
+ckdir = os.path.join(outdir, "mh_run")
+sys2 = NeRFSystem(h2, tr, te, mesh=mesh)
+sys2.fit(log_every=0, ckpt_dir=ckdir)
+assert sys2.global_step == 2, sys2.global_step
+
+# cold start on the same run dir: every rank must resume at step 2
+sys3 = NeRFSystem(h2, tr, te, mesh=mesh)
+sys3.fit(log_every=0, ckpt_dir=ckdir)
+assert sys3.global_step == 2, (rank, sys3.global_step)
+np.save(os.path.join(outdir, f"resume_step_{rank}.npy"),
+        np.asarray(sys3.global_step))
+print(f"rank {rank}: resumed at step {sys3.global_step}")

@@ -76,3 +76,6 @@ def test_two_process_training_matches_single(tmp_path):
     np.testing.assert_allclose(table_mp, table_ref, rtol=1e-3, atol=1e-6)
     # distributed validate (round-robin + allgather) == local validate
     assert abs(psnr_mp - psnr_ref) < 1e-3
+    # multi-host ckpt resume: BOTH ranks restored to the saved step
+    for rank in (0, 1):
+        assert int(np.load(tmp_path / f"resume_step_{rank}.npy")) == 2
