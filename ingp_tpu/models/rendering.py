@@ -63,14 +63,15 @@ class RenderConfig:
     # path, so both paths composite the identical sample set.
     ray_dedup: bool = False
     dedup_slack: float = 1.5     # z-term headroom for gapped runs (run_caps)
-    # order rays by kept-sample count before packing the compact stream
-    # (stream-composite path only): tiles of the stream then hold
-    # segments of similar length, so the dedup encoder's per-tile-class
-    # run caps can be tight for long-segment tiles without overflowing
-    # on sky/grazing rays (PERF_NOTES round-3 root cause). Per-ray
-    # outputs are inverse-permuted — compositing semantics and the kept
-    # sample SET are unchanged (the global budget is applied before the
-    # sort, in the same sample-major order).
+    # order rays by kept-sample count before packing the compact
+    # stream: tiles of the stream then hold segments of similar length,
+    # so the dedup encoder sees fewer run-cap overflows (quality) and
+    # its per-tile-class caps can be tight for long-segment tiles
+    # without overflowing on sky/grazing rays (PERF_NOTES round-3 root
+    # cause). Per-ray outputs are inverse-permuted — compositing
+    # semantics and the kept sample SET are unchanged (the global
+    # budget is applied before the sort, in the same sample-major
+    # order). Independent of the compositor choice.
     stream_sort: bool = True
 
     def march_cfg(self, model: NGPConfig) -> MarchConfig:
@@ -190,16 +191,29 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
         sems = sems_cm.reshape(-1, R, S)
         nraw_k, dir_k = nraw_cm, dir_cm
         valid_k = valid
+        ts_g, deltas_g, inv = ts, deltas, None
     else:
         # ragged -> fixed: pack valid samples into a (K,) network batch.
         # All per-sample channel quantities are channel-major (C, K) /
         # (C, R, S): a trailing 3 pads to 128 TPU lanes (42x HBM
         # traffic).
         import os
+        # the segmented-scan stream compositor is numerically EXACT and
+        # quality-neutral (tested vs the grid path at production K), but
+        # its jax.lax.associative_scan trees are an XLA compile-time
+        # bomb on TPU: the full train step compiles in ~40 s with the
+        # grid compositor and did not finish in 25 MINUTES with the
+        # stream one (measured through the axon tunnel, round 4) — and
+        # it runs ~1.7 ms/step SLOWER anyway (probe_composite_cost.py).
+        # Default OFF; INGP_STREAM_COMPOSITE=1 re-enables for A/B.
         use_stream_comp = (
             not render_cfg.pallas_composite
-            and os.environ.get("INGP_STREAM_COMPOSITE", "1") == "1")
-        sort_rays = (use_stream_comp and render_cfg.stream_sort
+            and os.environ.get("INGP_STREAM_COMPOSITE", "0") == "1")
+        # kept-count ray ordering is INDEPENDENT of the compositor: it
+        # feeds the dedup encoder homogeneous tiles (less run-cap
+        # overflow -> fewer zero-feature degradations) and arms the
+        # per-tile-class caps; outputs are inverse-permuted either way
+        sort_rays = (render_cfg.stream_sort
                      and os.environ.get("INGP_STREAM_SORT", "1") == "1")
         if sort_rays:
             # apply the global sample budget BEFORE sorting, in the
@@ -242,16 +256,15 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
             stream="sorted" if sort_rays else True)
         pad = ~plan.slot_valid
         sigmas_k = jnp.where(pad, 0.0, sigmas_k)
-        # default-ON since round 4: the compositor's scans are EXACT
-        # segmented scans (ops/composite._seg_scan) whose additions
-        # never cross a ray boundary, so the round-3 failure mode —
-        # a GLOBAL f32 cumsum reaching the accumulated sigma*dt of the
-        # whole batch (1e4+) and cancelling away the per-sample low
-        # bits at K ~ 2e5 — is structurally gone. Parity proven at
-        # production scale vs a float64 reference
-        # (test_composite_stream_production_scale_exact) and via the
-        # 600-step TPU quality gate. INGP_STREAM_COMPOSITE=0 restores
-        # the (R, S) scatter_back grid path for A/B runs.
+        # The compositor's scans are EXACT segmented scans
+        # (ops/composite._seg_scan) whose additions never cross a ray
+        # boundary, so the round-3 failure mode — a GLOBAL f32 cumsum
+        # reaching the accumulated sigma*dt of the whole batch (1e4+)
+        # and cancelling away the per-sample low bits at K ~ 2e5 — is
+        # structurally gone. Parity proven at production scale vs a
+        # float64 reference (test_composite_stream_production_scale_
+        # exact). Default OFF anyway: see the use_stream_comp comment
+        # (XLA compile-time bomb; the grid path is also ~1.7 ms faster).
         if use_stream_comp:
             # stream compositing: per-ray scans run directly on the
             # ray-major compact batch — none of the per-sample channels
@@ -299,12 +312,16 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
         # capacity overflow: samples that didn't fit in K must not
         # composite
         valid_k = plan.cell_valid
+        # grid-space per-sample axes follow the (possibly sorted) pack
+        # order; everything below runs in that space and the results
+        # are inverse-permuted at the end
+        ts_g, deltas_g = ts_c, deltas_c
 
     if render_cfg.pallas_composite:
         from ..ops.pallas.composite_pallas import (composite_pallas,
                                                    pallas_supported)
         ws_p, opacity_p, depth_p, rgb_p = composite_pallas(
-            sigmas, rgbs, deltas, ts, valid_k, render_cfg.T_threshold,
+            sigmas, rgbs, deltas_g, ts_g, valid_k, render_cfg.T_threshold,
             not pallas_supported())  # interpret on CPU backends
         results = {
             "ws": ws_p, "opacity": opacity_p, "depth": depth_p,
@@ -317,28 +334,17 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
             "semantic": jnp.sum(ws_p[None] * sems, -1).T,
         }
     else:
-        results = composite_rays(sigmas, rgbs, deltas, ts, valid_k,
+        results = composite_rays(sigmas, rgbs, deltas_g, ts_g, valid_k,
                                  render_cfg.T_threshold,
                                  normals_pred=npred, normals_raw=nraw,
                                  sems=sems)
-    results["ts"] = ts
-    results["deltas"] = deltas
+    results["ts"] = ts_g
+    results["deltas"] = deltas_g
     results["valid"] = valid_k
-    results["total_samples"] = march["total_samples"]
     results["sigmas"] = sigmas
 
-    # background compositing (rendering.py:229-240)
-    base_bg = jnp.broadcast_to(bg_color, (R, 3)) if bg_color is not None \
-        else jnp.zeros((R, 3))
-    if render_cfg.use_skybox:
-        sky = ngp_forward_skybox(model_cfg, params, rays_d)
-        rgb_bg = skybox_gate * sky + (1.0 - skybox_gate) * base_bg
-    else:
-        rgb_bg = base_bg
-    results["rgb"] = results["rgb"] \
-        + rgb_bg * (1.0 - results["opacity"][:, None])
-
-    # Ref-NeRF normal consistency composites (rendering.py:242-249)
+    # Ref-NeRF normal consistency composites (rendering.py:242-249) —
+    # still in grid space (nraw/npred/dir follow the pack order)
     normals_diff = (nraw - npred) ** 2                    # (3, R, S)
     dir_n = dir_k / jnp.maximum(
         jnp.linalg.norm(dir_k, axis=0, keepdims=True), 1e-6)
@@ -348,13 +354,25 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
     else:
         normals_ori = scatter_back(ori_k, plan)
     Ro, Rp = ref_loss(jax.lax.stop_gradient(sigmas), normals_diff,
-                      normals_ori, deltas, valid_k,
+                      normals_ori, deltas_g, valid_k,
                       render_cfg.T_threshold)
     results["Ro"], results["Rp"] = Ro, Rp
 
-    results["distortion"] = distortion_loss(results["ws"], deltas, ts,
-                                            valid_k)
-    return results
+    results["distortion"] = distortion_loss(results["ws"], deltas_g,
+                                            ts_g, valid_k)
+
+    if inv is not None:
+        # back to the caller's ray order: every per-ray / per-sample
+        # array above was produced in sorted-ray space
+        results = {k: (v[inv] if hasattr(v, "ndim") and v.ndim >= 1
+                       and v.shape[0] == R else v)
+                   for k, v in results.items()}
+    results["total_samples"] = march["total_samples"]
+
+    # background compositing (rendering.py:229-240) — caller ray order
+    # (rays_d / skybox run in the caller's space)
+    return _finish_render(model_cfg, render_cfg, params, results,
+                          rays_d, bg_color, skybox_gate, R)
 
 
 @partial(jax.jit, static_argnames=("model_cfg", "render_cfg"))

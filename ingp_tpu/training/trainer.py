@@ -588,7 +588,12 @@ class NeRFSystem:
                 latest = broadcast_int(latest)  # hosts must agree
             if (latest is not None and self.global_step == 0
                     and not getattr(h, "no_resume", False)):
-                self.load_state(ckpt_mgr.restore(latest))
+                # restore against the live state template so leaves
+                # land with THIS process's shardings — resumes work
+                # across backend/topology changes (e.g. a TPU-run
+                # checkpoint resumed on a CPU host)
+                self.load_state(ckpt_mgr.restore(
+                    latest, target=self._ckpt_state()))
                 if main:
                     print(f"resumed from {ckpt_dir}/steps @ step "
                           f"{self.global_step}")

@@ -52,12 +52,24 @@ class AsyncCkptManager:
     def latest_step(self):
         return self._mgr.latest_step()
 
-    def restore(self, step: int | None = None):
+    def restore(self, step: int | None = None, target=None):
+        """Restore a step's state. `target` (a pytree of live arrays,
+        e.g. the freshly-initialized trainer state) makes the restore
+        topology-portable: leaves come back with the TARGET's shardings
+        instead of the shardings recorded at save time — without it,
+        a checkpoint written on one backend/topology (TPU run) fails to
+        restore in another process (CPU resume, different device count)
+        with "sharding ... Got None"."""
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
             return None
-        return self._mgr.restore(step)
+        if target is None:
+            return self._mgr.restore(step)
+        restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+        return self._mgr.restore(
+            step, args=ocp.args.PyTreeRestore(
+                item=target, restore_args=restore_args))
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()
