@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -78,10 +79,8 @@ def main():
         encode_remat=os.environ.get("BENCH_REMAT", "1") == "1",
         encode_chunk=int(os.environ.get("BENCH_CHUNK", "196608")),
         # the stream encoder with run dedup (stream_direct_frac 0.7) is
-        # the bench default. BENCH_DEDUP=1 selects the older
-        # rectangle-dedup path — stream supersedes it when both are set.
-        ray_dedup=os.environ.get("BENCH_DEDUP", "0") == "1",
-        dedup_slack=float(os.environ.get("BENCH_DEDUP_SLACK", "1.5")),
+        # the bench default; BENCH_STREAM=0 selects the plain compact
+        # per-sample encoder.
         stream_dedup=os.environ.get("BENCH_STREAM", "1") == "1",
         stream_tile=int(os.environ.get("BENCH_STREAM_TILE", "256")),
         stream_seg=int(os.environ.get("BENCH_STREAM_SEG", "4")),
@@ -108,9 +107,32 @@ def main():
     # settle the occupancy grid + compile everything
     note("first training_step (compiles the full train program; minutes "
          "cold, seconds with a warm persistent cache)")
+    # compile-time canary (VERDICT r4 item 4): the round-2 bench timeout
+    # and the round-4 stall were both an XLA compile explosion that ate
+    # the run silently. A daemon thread can still speak while the main
+    # thread is stuck inside the blocking compile — bark and hard-exit
+    # instead of letting the driver time out with no trail.
+    budget = float(os.environ.get("BENCH_COMPILE_BUDGET_S", "900"))
+    compiled = threading.Event()
+
+    def bark():
+        if not compiled.wait(budget):
+            msg = (f"COMPILE CANARY: train step did not compile within "
+                   f"{budget:.0f}s — an XLA compile explosion, not a "
+                   f"slow device. Bisect with benchmarking/"
+                   f"compile_canary.py; check BENCH_*/INGP_* env flags "
+                   f"vs the shipping defaults.")
+            note(msg)
+            print(json.dumps({"metric": "train_rays_per_s_per_chip",
+                              "value": 0.0, "unit": "rays/s",
+                              "vs_baseline": 0.0, "error": msg}),
+                  flush=True)
+            os._exit(3)
+    threading.Thread(target=bark, daemon=True).start()
     for i in range(STEPS_WARMUP):
         float(system.training_step(tr.sample_batch(rng, BATCH))["loss"])
         if i == 0:
+            compiled.set()
             note("train step compiled + executed")
     for _ in range(16):  # converge grid a bit so s/ray is realistic
         aux = system.training_step(tr.sample_batch(rng, BATCH))

@@ -82,20 +82,26 @@ def main():
     print(f"stream N={N}", flush=True)
 
     CHUNK = 196608
+    # (label, seg_head, head_frac, seg_est, slack) — seg_est/slack
+    # override the SINGLE-class cap formula to measure the throughput
+    # headroom of the whole cap budget (VERDICT r4 item 7: what does a
+    # measured-calibration cap regime buy before quality gating?)
     CONFIGS = [
-        ("baseline (single class)", 0, 0.0),
-        ("head 0.50 seg 20", 20, 0.50),
-        ("head 0.75 seg 20", 20, 0.75),
-        ("head 0.75 seg 24", 24, 0.75),
+        ("baseline (single class)", 0, 0.0, 4, 1.5),
+        ("head 0.50 seg 20", 20, 0.50, 4, 1.5),
+        ("head 0.75 seg 20", 20, 0.75, 4, 1.5),
+        ("single seg 12", 0, 0.0, 12, 1.5),
+        ("single seg 24", 0, 0.0, 24, 1.5),
+        ("single seg 24 slack 1.2", 0, 0.0, 24, 1.2),
     ]
     wd = jax.random.normal(jax.random.fold_in(key, 2),
                            (N, bcfg_d.out_dim))
     wr = jax.random.normal(jax.random.fold_in(key, 3),
                            (N, bcfg_r.out_dim))
 
-    for label, sh, hf in CONFIGS:
+    for label, sh, hf, se, sl in CONFIGS:
         kw = dict(tile=256, chunk=CHUNK, storage_dtype="bfloat16",
-                  seg_head=sh, head_frac=hf)
+                  seg_head=sh, head_frac=hf, seg_est=se, slack=sl)
 
         @jax.jit
         def fwd(td, tr, x):

@@ -10,7 +10,7 @@ import numpy as np
 from ingp_tpu.models.ngp import NGPConfig
 from ingp_tpu.ops.brickgrid import (brickgrid_init, brick_coords,
                                     reduce_feats_jac, reduce_feats)
-from ingp_tpu.ops.raybrick import _unique_plan, _expand_unique, run_caps
+from ingp_tpu.ops.raybrick import _unique_plan, _expand_unique
 from ingp_tpu.ops.pallas.rayreduce_pallas import fused_ray_reduce
 from benchmarking.probe_components import timeit, ray_coherent_x
 
@@ -24,7 +24,13 @@ def main():
     dcfg = cfg.density_brick_cfg
     L, F = dcfg.n_levels, dcfg.n_features
     K = L * SPR
-    caps = run_caps(dcfg, spr=SPR)
+    # per-level unique-run capacities at the historical rectangle-path
+    # op-point (run_caps formula, preserved inline after its deletion:
+    # U_l = min(spr, ceil(2.5 + 3 + 0.7 * 1.5 * scale_l*spr*dt/B)))
+    dt = np.sqrt(3.0) / 1024
+    caps = tuple(int(min(SPR, np.ceil(
+        5.5 + 1.05 * sc * SPR * dt / dcfg.brick_size)))
+        for sc in dcfg.scales)
     U = int(np.sum(caps))
     table = brickgrid_init(key, dcfg)
 

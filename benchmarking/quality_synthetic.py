@@ -28,7 +28,6 @@ def main():
     ap.add_argument("--chunk", type=int, default=98304)
     ap.add_argument("--img_size", type=int, default=256)
     ap.add_argument("--n_train", type=int, default=100)
-    ap.add_argument("--ray_dedup", action="store_true", default=False)
     ap.add_argument("--stream_dedup", action="store_true", default=False)
     ap.add_argument("--stream_tile", type=int, default=256)
     ap.add_argument("--stream_slack", type=float, default=1.5)
@@ -38,7 +37,8 @@ def main():
                     action="store_false", default=True)
     ap.add_argument("--stream_seg_head", type=int, default=20)
     ap.add_argument("--stream_head_frac", type=float, default=0.0)
-    ap.add_argument("--dedup_slack", type=float, default=1.5)
+    ap.add_argument("--stream_autocal", action="store_true",
+                    default=False)
     ap.add_argument("--sparsity", type=float, default=1e-3)
     args = ap.parse_args()
 
@@ -58,14 +58,14 @@ def main():
         capacity=args.capacity, march_iters=1024,
         samples_per_ray=args.spr, encoder="brick",
         table_dtype="bfloat16", encode_chunk=args.chunk,
-        sparsity_loss=args.sparsity, ray_dedup=args.ray_dedup,
-        dedup_slack=args.dedup_slack, stream_dedup=args.stream_dedup,
+        sparsity_loss=args.sparsity, stream_dedup=args.stream_dedup,
         stream_tile=args.stream_tile, stream_slack=args.stream_slack,
         stream_seg=args.stream_seg,
         stream_direct_frac=args.stream_direct_frac,
         stream_sort=args.stream_sort,
         stream_seg_head=args.stream_seg_head,
-        stream_head_frac=args.stream_head_frac)
+        stream_head_frac=args.stream_head_frac,
+        stream_autocal=args.stream_autocal)
     tr = SyntheticDataset(split="train", img_size=args.img_size,
                           n_train=args.n_train)
     te = SyntheticDataset(split="test", img_size=args.img_size, n_test=4)

@@ -47,14 +47,12 @@ def main():
         table_dtype=os.environ.get("BENCH_TABLE_DTYPE", "bfloat16"),
         encode_remat=os.environ.get("BENCH_REMAT", "1") == "1",
         encode_chunk=int(os.environ.get("BENCH_CHUNK", "196608")),
-        ray_dedup=os.environ.get("BENCH_DEDUP", "0") == "1",
         stream_dedup=os.environ.get("BENCH_STREAM", "1") == "1",
         stream_tile=int(os.environ.get("BENCH_STREAM_TILE", "256")),
         stream_seg=int(os.environ.get("BENCH_STREAM_SEG", "4")),
         stream_slack=float(os.environ.get("BENCH_STREAM_SLACK", "1.5")),
         stream_direct_frac=float(os.environ.get("BENCH_DIRECT_FRAC",
                                                 "0.7")),
-        dedup_slack=float(os.environ.get("BENCH_DEDUP_SLACK", "1.5")),
     )
     tr = SyntheticDataset(split="train", img_size=256, n_train=16)
     te = SyntheticDataset(split="test", img_size=256, n_test=1)

@@ -111,6 +111,11 @@ class NGPConfig:
     # head_frac 0 disables (single cap class).
     stream_seg_head: int = 20
     stream_head_frac: float = 0.0
+    # measured per-level cap override (tuple of L ints) replacing the
+    # formula caps entirely — set by the trainer's auto-calibration
+    # from run_count_quantiles of real batches (ops/streambrick.py);
+    # None = formula caps at (stream_slack, stream_seg)
+    stream_caps: tuple | None = None
 
     @property
     def cascades(self) -> int:
@@ -262,7 +267,8 @@ def _brick_encode(cfg: NGPConfig, bcfg, table, u, x_cm, stream):
             storage_dtype=sd, slack=cfg.stream_slack,
             seg_est=cfg.stream_seg,
             direct_frac=cfg.stream_direct_frac,
-            seg_head=sh, head_frac=hf)
+            seg_head=sh, head_frac=hf,
+            caps_override=cfg.stream_caps)
     return brickgrid_encode(bcfg, table, u, remat=cfg.encode_remat,
                             chunk=cfg.encode_chunk, storage_dtype=sd,
                             x_cm=x_cm)
@@ -348,7 +354,8 @@ def ngp_grad_cm(cfg: NGPConfig, params, x_cm, stream=False):
                 jac_lo=jac_lo, jac_hi=jac_hi, storage_dtype=sd,
                 slack=cfg.stream_slack, seg_est=cfg.stream_seg,
                 direct_frac=cfg.stream_direct_frac,
-                seg_head=sh, head_frac=hf)
+                seg_head=sh, head_frac=hf,
+                caps_override=cfg.stream_caps)
         from ..ops.brickgrid import brickgrid_encode_grad
         return brickgrid_encode_grad(
             bcfg, table, u, remat=cfg.encode_remat,
@@ -384,54 +391,6 @@ def ngp_grad(cfg: NGPConfig, params, x):
     """Sample-major wrapper: x (N, 3) -> grads (N, 3)."""
     sigmas, feat_rgb, grads = ngp_grad_cm(cfg, params, x.T)
     return sigmas, feat_rgb, grads.T
-
-
-def ngp_grad_rays(cfg: NGPConfig, params, x3, valid, caps):
-    """ngp_grad_cm over ray-structured samples with run-dedup encoding
-    (ops/raybrick.py): one table row per brick *run* along each ray
-    instead of one per sample — ~4-5x fewer gather/scatter rows at the
-    default op-point.
-
-    Args:
-      x3: (3, R, S) world positions, S t-ordered samples per ray.
-      valid: (R, S) sample mask (valid samples form a prefix).
-      caps: static per-level unique-run capacities (raybrick.run_caps).
-
-    Returns (sigmas (N,), feat_rgb (N, LF), grads (3, N)), N = R*S
-    ray-major; invalid samples yield zero features (sigma = softplus
-    of the MLP at zero input — mask downstream like compact padding).
-    """
-    from ..ops.raybrick import raybrick_encode, raybrick_encode_grad
-    u = _normalize_coords(cfg, x3)
-    sd = _storage_dt(cfg)
-    S = valid.shape[1]
-    chunk_rays = max(256, cfg.encode_chunk // S)
-    if cfg.encoder == "fused":
-        fused, jac = raybrick_encode_grad(
-            cfg.fused_brick_cfg, params["grid_table"], u, valid, caps,
-            chunk_rays=chunk_rays, remat=cfg.encode_remat,
-            jac_lo=0, jac_hi=cfg.density_F, storage_dtype=sd)
-        feats, feat_rgb = _split_fused(cfg, fused)
-    elif cfg.encoder == "brick":
-        feats, jac = raybrick_encode_grad(
-            cfg.density_brick_cfg, params["density_table"], u, valid,
-            caps, chunk_rays=chunk_rays, remat=cfg.encode_remat,
-            storage_dtype=sd)
-        feat_rgb = raybrick_encode(
-            cfg.rgb_brick_cfg, params["rgb_table"], u, valid, caps,
-            chunk_rays=chunk_rays, remat=cfg.encode_remat,
-            storage_dtype=sd)
-    else:
-        raise ValueError(
-            f"ray-dedup rendering requires the brick or fused encoder, "
-            f"got {cfg.encoder!r}")
-    raw, mlp_vjp = jax.vjp(
-        lambda h: mlp_apply_cm(params["xyz_net"], h, "softplus", "none",
-                               cfg.dtype)[0], feats)
-    sigmas = jax.nn.softplus(raw)
-    dfeat = mlp_vjp(jax.nn.sigmoid(raw))[0]
-    grads = jnp.einsum("dnf,nf->dn", jac, dfeat) / (2.0 * cfg.scale)
-    return sigmas, feat_rgb, grads
 
 
 def _safe_normalize(v, eps=1e-6, axis=-1):
@@ -536,20 +495,6 @@ def _forward_heads(cfg: NGPConfig, params, sigmas, feat_rgb, grads,
             rgbs = log_radiance_to_rgb(cfg, params, rgbs.T, exposure).T
 
     return sigmas, rgbs, normals_raw, normals_pred, semantic
-
-
-def ngp_forward_rays(cfg: NGPConfig, params, x3, valid, caps, d_cm,
-                     embedding_a=None, exposure=None,
-                     output_radiance=False, stop_header_grads=False):
-    """ngp_forward_cm over ray-structured samples (run-dedup encode).
-
-    x3: (3, R, S) positions; valid: (R, S); d_cm: (3, N=R*S) per-sample
-    view directions (ray dirs repeated). Returns the same per-sample
-    channel-major tuple as ngp_forward_cm with N = R*S ray-major."""
-    sigmas, feat_rgb, grads = ngp_grad_rays(cfg, params, x3, valid, caps)
-    return _forward_heads(cfg, params, sigmas, feat_rgb, grads, d_cm,
-                          embedding_a, exposure, output_radiance,
-                          stop_header_grads)
 
 
 def ngp_forward(cfg: NGPConfig, params, x, d, embedding_a=None,

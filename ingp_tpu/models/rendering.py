@@ -27,14 +27,13 @@ import jax.numpy as jnp
 
 from ..core.intersect import ray_aabb_intersect
 from ..ops.march import MarchConfig, march_rays_lattice, march_rays_block
-from ..ops.composite import (composite_rays, composite_stream,
+from ..ops.composite import (composite_rays,
                              distortion_loss, ref_loss)
 from ..ops.pack import (
     compact_samples, gather_samples, scatter_back, scatter_back_cm,
     ray_ids_for,
 )
-from .ngp import (NGPConfig, ngp_forward_cm, ngp_forward_rays,
-                  ngp_forward_skybox)
+from .ngp import NGPConfig, ngp_forward_cm, ngp_forward_skybox
 
 MAX_SAMPLES = 1024    # models/rendering.py:9
 NEAR_DISTANCE = 0.01  # models/rendering.py:10
@@ -55,14 +54,11 @@ class RenderConfig:
     # fused Pallas composite kernel (ops/pallas/); requires R % 8 == 0
     # and capacity % 128 == 0
     pallas_composite: bool = False
-    # ray-run dedup encoding (ops/raybrick.py): skip the sample
-    # compaction and encode the (R, capacity) march grid directly, with
-    # one table row per brick run per ray. Requires the brick/fused
-    # encoder. samples_per_ray sets the same GLOBAL budget
-    # (K = R * samples_per_ray, ray-major first-come) as the compact
-    # path, so both paths composite the identical sample set.
-    ray_dedup: bool = False
-    dedup_slack: float = 1.5     # z-term headroom for gapped runs (run_caps)
+    # report per-level unique-run-count quantiles of the compact stream
+    # in the results ("stream_runs", (L,) int32) — the measured input
+    # of the trainer's cap auto-calibration (streambrick.
+    # run_count_quantiles). ~1 ms/step of extra coords work.
+    run_stats: bool = False
     # order rays by kept-sample count before packing the compact
     # stream: tiles of the stream then hold segments of similar length,
     # so the dedup encoder sees fewer run-cap overflows (quality) and
@@ -95,6 +91,31 @@ def _finish_render(model_cfg, render_cfg, params, results, rays_d,
     results["rgb"] = results["rgb"] \
         + rgb_bg * (1.0 - results["opacity"][:, None])
     return results
+
+
+# Per-ray result keys produced in sorted-ray space by the train
+# renderer — the explicit inverse-permutation whitelist. A shape
+# heuristic (v.shape[0] == R) would silently mis-handle any future
+# channel-major (C, R, S) entry whose leading dim happens to equal R.
+_PER_RAY_KEYS = frozenset({
+    "ws", "opacity", "depth", "rgb", "vr_samples", "normal_pred",
+    "normal_raw", "semantic", "sigmas", "valid", "ts", "deltas",
+    "Ro", "Rp", "distortion",
+})
+
+
+def _inv_permute_results(results, inv):
+    """Inverse-permute the per-ray entries of a sorted-ray-space result
+    dict back to the caller's ray order. Unknown keys are an error:
+    a new results entry must be classified here before it can ride the
+    sorted path (total_samples is deliberately added after)."""
+    unknown = set(results) - _PER_RAY_KEYS
+    if unknown:
+        raise KeyError(
+            f"unclassified per-ray result keys {sorted(unknown)}: add "
+            "them to rendering._PER_RAY_KEYS (or exclude them from the "
+            "sorted-space dict)")
+    return {k: v[inv] for k, v in results.items()}
 
 
 def clamp_near(hits_t):
@@ -148,174 +169,73 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
     ts, deltas, valid = march["ts"], march["deltas"], march["valid"]
 
     o_cm, d_cm = rays_o.T, rays_d.T                        # (3, R)
-    if render_cfg.ray_dedup:
-        # dense-ray path: no compaction — the (R, S) march grid IS the
-        # network batch (N = R*S ray-major), and the encoder dedups
-        # brick runs along each ray (ops/raybrick.py). The pack/unpack
-        # plumbing and its backward disappear entirely.
-        #
-        # Global sample budget: keep the first K valid samples in
-        # sample-major order — the exact set compact_samples keeps
-        # (deepest samples dropped uniformly on overflow) — so the two
-        # train paths share compositing semantics at every op-point.
-        # (Without this, the per-ray cap composited every marched
-        # sample; the extra early-training fog samples got
-        # rgb-supervised, the density grid stayed ~50% denser, and
-        # novel-view PSNR landed 3 dB below the compact control at the
-        # same march capacity — see PERF_NOTES.md round-2 bisect.)
+    # ragged -> fixed: pack valid samples into a (K,) network batch.
+    # All per-sample channel quantities are channel-major (C, K) /
+    # (C, R, S): a trailing 3 pads to 128 TPU lanes (42x HBM
+    # traffic).
+    import os
+    # kept-count ray ordering: it feeds the dedup encoder homogeneous
+    # tiles (less run-cap overflow -> fewer zero-feature degradations)
+    # and lets the breaks budget of the run caps assume long segments;
+    # per-ray outputs are inverse-permuted at the end
+    sort_rays = (render_cfg.stream_sort
+                 and os.environ.get("INGP_STREAM_SORT", "1") == "1")
+    if sort_rays:
+        # apply the global sample budget BEFORE sorting, in the
+        # same sample-major order as compact_samples — the kept
+        # sample SET is identical to the unsorted path; only the
+        # pack order changes (see RenderConfig.stream_sort)
         cum = jnp.cumsum(valid.T.reshape(-1).astype(jnp.int32))
-        valid = valid & (cum.reshape(S, R).T <= K)
-        from ..ops.raybrick import run_caps
-        caps = run_caps(model_cfg.density_brick_cfg
-                        if model_cfg.encoder == "brick"
-                        else model_cfg.fused_brick_cfg,
-                        spr=S, max_samples=render_cfg.max_samples,
-                        slack=render_cfg.dedup_slack)
-        # positions differentiate through rays (pose refinement) but
-        # not t (RayMarcher backward, custom_functions.py:104-113)
-        xyz3 = o_cm[:, :, None] + ts[None] * d_cm[:, :, None]
-        dir_cm = jnp.repeat(d_cm, S, axis=1)               # (3, R*S)
-        emb_k = jnp.repeat(embedding_a, S, axis=0) \
-            if embedding_a is not None else None
-
-        sigmas_k, rgbs_cm, nraw_cm, npred_cm, sems_cm = ngp_forward_rays(
-            model_cfg, params, xyz3, valid, caps, dir_cm,
-            embedding_a=emb_k, exposure=exposure,
-            stop_header_grads=render_cfg.stop_header_grads)
-
-        vflat = valid.reshape(-1)
-        sigmas = jnp.where(vflat, sigmas_k, 0.0).reshape(R, S)
-        rgbs = rgbs_cm.reshape(3, R, S)
-        npred = npred_cm.reshape(3, R, S)
-        nraw = nraw_cm.reshape(3, R, S)
-        sems = sems_cm.reshape(-1, R, S)
-        nraw_k, dir_k = nraw_cm, dir_cm
-        valid_k = valid
-        ts_g, deltas_g, inv = ts, deltas, None
+        valid_b = valid & (cum.reshape(S, R).T <= K)
+        counts_r = jnp.sum(valid_b, -1)
+        perm = jnp.argsort(-counts_r)                  # descending
+        # multi-chunk encoders see one chunk at a time with the
+        # SAME static tile classes: stripe the sorted rays so
+        # every chunk receives the full length spectrum, each
+        # stripe still sorted descending internally
+        nc = max(1, -(-K // model_cfg.encode_chunk))
+        if nc > 1:
+            perm = jnp.concatenate([perm[c::nc] for c in range(nc)])
+        inv = jnp.argsort(perm)
+        valid_c, ts_c, deltas_c = valid_b[perm], ts[perm], deltas[perm]
+        o_c, d_c = o_cm[:, perm], d_cm[:, perm]
+        emb_c = embedding_a[perm] if embedding_a is not None else None
     else:
-        # ragged -> fixed: pack valid samples into a (K,) network batch.
-        # All per-sample channel quantities are channel-major (C, K) /
-        # (C, R, S): a trailing 3 pads to 128 TPU lanes (42x HBM
-        # traffic).
-        import os
-        # the segmented-scan stream compositor is numerically EXACT and
-        # quality-neutral (tested vs the grid path at production K), but
-        # its jax.lax.associative_scan trees are an XLA compile-time
-        # bomb on TPU: the full train step compiles in ~40 s with the
-        # grid compositor and did not finish in 25 MINUTES with the
-        # stream one (measured through the axon tunnel, round 4) — and
-        # it runs ~1.7 ms/step SLOWER anyway (probe_composite_cost.py).
-        # Default OFF; INGP_STREAM_COMPOSITE=1 re-enables for A/B.
-        use_stream_comp = (
-            not render_cfg.pallas_composite
-            and os.environ.get("INGP_STREAM_COMPOSITE", "0") == "1")
-        # kept-count ray ordering is INDEPENDENT of the compositor: it
-        # feeds the dedup encoder homogeneous tiles (less run-cap
-        # overflow -> fewer zero-feature degradations) and arms the
-        # per-tile-class caps; outputs are inverse-permuted either way
-        sort_rays = (render_cfg.stream_sort
-                     and os.environ.get("INGP_STREAM_SORT", "1") == "1")
-        if sort_rays:
-            # apply the global sample budget BEFORE sorting, in the
-            # same sample-major order as compact_samples — the kept
-            # sample SET is identical to the unsorted path; only the
-            # pack order changes (see RenderConfig.stream_sort)
-            cum = jnp.cumsum(valid.T.reshape(-1).astype(jnp.int32))
-            valid_b = valid & (cum.reshape(S, R).T <= K)
-            counts_r = jnp.sum(valid_b, -1)
-            perm = jnp.argsort(-counts_r)                  # descending
-            # multi-chunk encoders see one chunk at a time with the
-            # SAME static tile classes: stripe the sorted rays so
-            # every chunk receives the full length spectrum, each
-            # stripe still sorted descending internally
-            nc = max(1, -(-K // model_cfg.encode_chunk))
-            if nc > 1:
-                perm = jnp.concatenate([perm[c::nc] for c in range(nc)])
-            inv = jnp.argsort(perm)
-            valid_c, ts_c, deltas_c = valid_b[perm], ts[perm], deltas[perm]
-            o_c, d_c = o_cm[:, perm], d_cm[:, perm]
-            emb_c = embedding_a[perm] if embedding_a is not None else None
-        else:
-            valid_c, ts_c, deltas_c = valid, ts, deltas
-            o_c, d_c, emb_c, inv = o_cm, d_cm, embedding_a, None
-        plan = compact_samples(valid_c, K)
-        rids = ray_ids_for(plan)
-        t_k = gather_samples(ts_c, plan)                   # (K,)
-        # positions differentiate through rays (pose refinement) but
-        # not t (RayMarcher backward, custom_functions.py:104-113)
-        dir_cm = d_c[:, rids]                              # (3, K)
-        xyz_cm = o_c[:, rids] + t_k[None] * dir_cm
-        emb_k = emb_c[rids] if emb_c is not None else None
+        valid_c, ts_c, deltas_c = valid, ts, deltas
+        o_c, d_c, emb_c, inv = o_cm, d_cm, embedding_a, None
+    plan = compact_samples(valid_c, K)
+    rids = ray_ids_for(plan)
+    t_k = gather_samples(ts_c, plan)                   # (K,)
+    # positions differentiate through rays (pose refinement) but
+    # not t (RayMarcher backward, custom_functions.py:104-113)
+    dir_cm = d_c[:, rids]                              # (3, K)
+    xyz_cm = o_c[:, rids] + t_k[None] * dir_cm
+    emb_k = emb_c[rids] if emb_c is not None else None
 
-        # the compact batch is ray-contiguous (ops/pack.py ray-major
-        # order): stream-dedup encoding applies when configured
-        sigmas_k, rgbs_cm, nraw_cm, npred_cm, sems_cm = ngp_forward_cm(
-            model_cfg, params, xyz_cm, dir_cm, embedding_a=emb_k,
-            exposure=exposure,
-            stop_header_grads=render_cfg.stop_header_grads,
-            stream="sorted" if sort_rays else True)
-        pad = ~plan.slot_valid
-        sigmas_k = jnp.where(pad, 0.0, sigmas_k)
-        # The compositor's scans are EXACT segmented scans
-        # (ops/composite._seg_scan) whose additions never cross a ray
-        # boundary, so the round-3 failure mode — a GLOBAL f32 cumsum
-        # reaching the accumulated sigma*dt of the whole batch (1e4+)
-        # and cancelling away the per-sample low bits at K ~ 2e5 — is
-        # structurally gone. Parity proven at production scale vs a
-        # float64 reference (test_composite_stream_production_scale_
-        # exact). Default OFF anyway: see the use_stream_comp comment
-        # (XLA compile-time bomb; the grid path is also ~1.7 ms faster).
-        if use_stream_comp:
-            # stream compositing: per-ray scans run directly on the
-            # ray-major compact batch — none of the per-sample channels
-            # round-trips through the (R, S) grid (ops/composite.py
-            # composite_stream)
-            dt_k = gather_samples(deltas_c, plan)
-            dn = dir_cm / jnp.maximum(
-                jnp.linalg.norm(dir_cm, axis=0, keepdims=True), 1e-6)
-            ori_k = jnp.maximum(jnp.sum(nraw_cm * dn, 0), 0.0) ** 2
-            results = composite_stream(
-                sigmas_k, rgbs_cm, t_k, dt_k,
-                counts=jnp.sum(plan.cell_valid, -1),
-                slot_valid=plan.slot_valid,
-                T_threshold=render_cfg.T_threshold,
-                normals_pred=npred_cm, normals_raw=nraw_cm,
-                sems=sems_cm,
-                normals_diff=(nraw_cm - npred_cm) ** 2,
-                normals_ori=ori_k)
-            ws_k = results.pop("ws")
-            # (R, S)-shaped per-sample views kept for API parity with
-            # the grid paths; DCE'd when nothing consumes them
-            results["sigmas"] = scatter_back(sigmas_k, plan)
-            results["ws"] = scatter_back(ws_k, plan)
-            results["valid"] = plan.cell_valid
-            if inv is not None:
-                # back to the caller's ray order: every per-ray and
-                # (R, S) array above was produced in sorted-ray space
-                results = {
-                    k: (v[inv] if hasattr(v, "ndim") and v.ndim >= 1
-                        and v.shape[0] == R else v)
-                    for k, v in results.items()}
-            results["ts"] = ts
-            results["deltas"] = deltas
-            results["total_samples"] = march["total_samples"]
-            return _finish_render(model_cfg, render_cfg, params, results,
-                                  rays_d, bg_color, skybox_gate, R)
+    # the compact batch is ray-contiguous (ops/pack.py ray-major
+    # order): stream-dedup encoding applies when configured
+    sigmas_k, rgbs_cm, nraw_cm, npred_cm, sems_cm = ngp_forward_cm(
+        model_cfg, params, xyz_cm, dir_cm, embedding_a=emb_k,
+        exposure=exposure,
+        stop_header_grads=render_cfg.stop_header_grads,
+        stream="sorted" if sort_rays else True)
+    pad = ~plan.slot_valid
+    sigmas_k = jnp.where(pad, 0.0, sigmas_k)
 
-        sigmas = scatter_back(sigmas_k, plan)
-        rgbs = scatter_back_cm(rgbs_cm, plan)              # (3, R, S)
-        npred = scatter_back_cm(npred_cm, plan)
-        nraw = scatter_back_cm(nraw_cm, plan)
-        sems = scatter_back_cm(sems_cm, plan)
-        nraw_k, dir_k = nraw_cm, dir_cm
+    sigmas = scatter_back(sigmas_k, plan)
+    rgbs = scatter_back_cm(rgbs_cm, plan)              # (3, R, S)
+    npred = scatter_back_cm(npred_cm, plan)
+    nraw = scatter_back_cm(nraw_cm, plan)
+    sems = scatter_back_cm(sems_cm, plan)
+    nraw_k, dir_k = nraw_cm, dir_cm
 
-        # capacity overflow: samples that didn't fit in K must not
-        # composite
-        valid_k = plan.cell_valid
-        # grid-space per-sample axes follow the (possibly sorted) pack
-        # order; everything below runs in that space and the results
-        # are inverse-permuted at the end
-        ts_g, deltas_g = ts_c, deltas_c
+    # capacity overflow: samples that didn't fit in K must not
+    # composite
+    valid_k = plan.cell_valid
+    # grid-space per-sample axes follow the (possibly sorted) pack
+    # order; everything below runs in that space and the results
+    # are inverse-permuted at the end
+    ts_g, deltas_g = ts_c, deltas_c
 
     if render_cfg.pallas_composite:
         from ..ops.pallas.composite_pallas import (composite_pallas,
@@ -349,10 +269,7 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
     dir_n = dir_k / jnp.maximum(
         jnp.linalg.norm(dir_k, axis=0, keepdims=True), 1e-6)
     ori_k = jnp.maximum(jnp.sum(nraw_k * dir_n, 0), 0.0) ** 2
-    if render_cfg.ray_dedup:
-        normals_ori = ori_k.reshape(R, S)
-    else:
-        normals_ori = scatter_back(ori_k, plan)
+    normals_ori = scatter_back(ori_k, plan)
     Ro, Rp = ref_loss(jax.lax.stop_gradient(sigmas), normals_diff,
                       normals_ori, deltas_g, valid_k,
                       render_cfg.T_threshold)
@@ -364,10 +281,21 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
     if inv is not None:
         # back to the caller's ray order: every per-ray / per-sample
         # array above was produced in sorted-ray space
-        results = {k: (v[inv] if hasattr(v, "ndim") and v.ndim >= 1
-                       and v.shape[0] == R else v)
-                   for k, v in results.items()}
+        results = _inv_permute_results(results, inv)
     results["total_samples"] = march["total_samples"]
+    if render_cfg.run_stats:
+        # measured per-level run counts of the ACTUAL encoder stream
+        # (xyz_cm is the ray-contiguous compact batch the stream
+        # encoder tiles) — feeds the trainer's cap auto-calibration.
+        # Measured on the rgb brick table (the larger one: fewer hash
+        # collisions merge runs, so its counts upper-bound both tables)
+        from ..ops.streambrick import run_count_quantiles
+        from .ngp import _normalize_coords
+        results["stream_runs"] = run_count_quantiles(
+            model_cfg.rgb_brick_cfg,
+            jax.lax.stop_gradient(
+                _normalize_coords(model_cfg, xyz_cm)),
+            model_cfg.stream_tile)
 
     # background compositing (rendering.py:229-240) — caller ray order
     # (rays_d / skybox run in the caller's space)

@@ -83,148 +83,6 @@ def composite_rays(sigmas, rgbs, deltas, ts, valid, T_threshold,
     return out
 
 
-def _seg_bounds(counts):
-    """Per-ray segment boundaries in a ray-major compact stream:
-    (starts (R,), ends (R,)) with ends[r] = starts[r] + counts[r]."""
-    ends = jnp.cumsum(counts.astype(jnp.int32))
-    return ends - counts, ends
-
-
-def _start_mask(starts, K):
-    """(K,) bool mask of segment-start slots. starts may contain K
-    (empty trailing rays): one pad slot absorbs the OOB set, keeping
-    both the forward scatter and its backward gather in bounds."""
-    return jnp.zeros((K + 1,), bool).at[starts].set(True)[:K]
-
-
-def _seg_scan(smask, vals):
-    """EXACT segmented inclusive cumsum along the last axis.
-
-    The retired formulation ran a GLOBAL cumsum and injected negative
-    per-segment bases at each start: at production stream sizes
-    (K ~ 2e5) the global running total reaches the accumulated
-    sigma*dt of the whole batch (1e4+), and recovering a per-sample
-    value by cancellation loses the low bits — 600-step TPU training
-    diverged at step ~200-300 (PERF_NOTES round-3). This associative
-    segmented scan never ADDS across a segment boundary (the combine
-    restarts at flagged elements), so accumulated magnitudes are
-    bounded by a single ray's total and there is no cancellation at
-    any K. Same log-depth tree XLA lowers cumsum to.
-
-    vals: (C, K); smask: (K,) bool. Returns (C, K).
-    """
-    f = jnp.broadcast_to(smask[None], vals.shape)
-
-    def comb(a, b):
-        af, av = a
-        bf, bv = b
-        return af | bf, jnp.where(bf, bv, av + bv)
-
-    _, out = jax.lax.associative_scan(comb, (f, vals), axis=-1)
-    return out
-
-
-def _seg_totals(seg_cum, ends, counts):
-    """Per-segment totals from a segmented inclusive cumsum: the value
-    at each segment's last slot (exact — no global-prefix difference).
-    seg_cum: (C, K); ends, counts: (R,). Returns (C, R)."""
-    idx = jnp.clip(ends - 1, 0, seg_cum.shape[-1] - 1)
-    v = jnp.take(seg_cum, idx, axis=-1)
-    return jnp.where(counts[None] > 0, v, 0.0)
-
-
-def composite_stream(sig_k, rgb_cm, t_k, dt_k, counts, slot_valid,
-                     T_threshold, normals_pred=None, normals_raw=None,
-                     sems=None, normals_diff=None, normals_ori=None):
-    """composite_rays + ref_loss + distortion_loss directly on the
-    ray-major COMPACT stream — the (R, S) round trip (scatter_back of
-    every per-sample channel, then (R, S)-domain scans) disappears.
-
-    The per-ray front-to-back recurrence runs as EXACT segmented scans
-    over the (K,) stream (_seg_scan: additions never cross a ray
-    boundary, so there is no global-magnitude cancellation at any K);
-    per-ray reductions read each segment's last scanned slot
-    (_seg_totals). Same math as composite_rays on the scattered grid
-    (volumerendering.cu:66-164 semantics), tested equal — including at
-    production-scale K with adversarial sigma magnitudes
-    (tests/test_ops.py stream-compositor suite).
-
-    Args:
-      sig_k: (K,) sigma per compact slot (zero at padding).
-      rgb_cm: (3, K); t_k, dt_k: (K,) interval start / length.
-      counts: (R,) kept samples per ray (plan.cell_valid.sum(-1)).
-      slot_valid: (K,) bool.
-      normals_diff (3, K) / normals_ori (K,): Ref-NeRF inputs; their
-        composites use stop-gradient weights (rendering.py:248).
-
-    Returns the composite_rays dict (+"Ro"/"Rp"/"distortion" when the
-    ref inputs are given); per-sample "ws" stays in stream form.
-    """
-    R = counts.shape[0]
-    K = sig_k.shape[0]
-    starts, ends = _seg_bounds(counts)
-    smask = _start_mask(starts, K)
-
-    sd = jnp.where(slot_valid, sig_k * dt_k, 0.0)
-    sd_seg_inc = _seg_scan(smask, sd[None])[0]
-    Ts = jnp.exp(-(sd_seg_inc - sd))                   # exclusive
-    include = slot_valid & (Ts > T_threshold)
-    alphas = 1.0 - jnp.exp(-sd)
-    ws = jnp.where(include, alphas * Ts, 0.0)
-
-    # one channel-stacked cumsum + two boundary gathers for every
-    # composite output
-    # vr_samples counts ws > 0 (not `include`): samples with
-    # sigma*dt == 0 pass the T gate but carry zero weight, and
-    # composite_rays' count excludes them — keep the two compositors'
-    # s/ray metric identical
-    chans = [ws[None], (ws * t_k)[None],
-             (ws > 0)[None].astype(jnp.float32),
-             ws[None] * rgb_cm]
-    names = ["opacity", "depth", "vr", "rgb"]
-    if normals_pred is not None:
-        chans.append(ws[None] * normals_pred)
-        names.append("normal_pred")
-    if normals_raw is not None:
-        chans.append(ws[None] * normals_raw)
-        names.append("normal_raw")
-    if sems is not None:
-        chans.append(ws[None] * sems)
-        names.append("semantic")
-    w_sg = jax.lax.stop_gradient(ws)
-    if normals_diff is not None:
-        chans.append(w_sg[None] * normals_diff)
-        names.append("Rp")
-    if normals_ori is not None:
-        chans.append((w_sg * normals_ori)[None])
-        names.append("Ro")
-    # distortion loss (losses.cu:92-93) from segmented scans of w, w*t
-    wt = ws * t_k
-    wscan = _seg_scan(smask, jnp.stack([ws, wt]))
-    ws_in, wts_in = wscan[0], wscan[1]
-    per_sample = 2.0 * (wts_in * (ws_in - ws) - ws_in * (wts_in - wt)) \
-        + (1.0 / 3.0) * ws * ws * jnp.where(slot_valid, dt_k, 0.0)
-    chans.append(per_sample[None])
-    names.append("distortion")
-
-    stacked = jnp.concatenate(chans, axis=0)           # (C_tot, K)
-    sums = _seg_totals(_seg_scan(smask, stacked), ends, counts)
-
-    out = {"ws": ws}
-    ofs = 0
-    for name, ch in zip(names, chans):
-        c = ch.shape[0]
-        v = sums[ofs:ofs + c]
-        ofs += c
-        if name in ("opacity", "depth", "Ro", "distortion"):
-            out[name] = v[0]
-        elif name == "vr":
-            out["vr_samples"] = v[0].astype(jnp.int32)
-        else:
-            out[name] = v.T                            # (R, C)
-    return out
-
-
 def distortion_loss(ws, deltas, ts, valid):
     """Mip-NeRF-360 distortion loss per ray (losses.cu:92-93 math).
 

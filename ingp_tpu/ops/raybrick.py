@@ -1,40 +1,33 @@
-"""Ray-run deduplicated brick-grid encoding.
+"""Run-dedup plan machinery for brick-grid encoders.
 
 TPU gathers and scatters are *index-rate* bound (~130M gather / ~60M
-scatter rows/s measured on v5e, PERF_NOTES.md), so the brick encoder's
-cost is set by the number of (sample, level) rows it touches: L rows
-per sample, 16 x 24 = 384 per ray at the bench op-point. But marched
+scatter rows/s measured on v5e, PERF_NOTES.md), so a brick encoder's
+cost is set by the number of (sample, level) rows it touches. Marched
 samples are ORDERED along their ray with spacing dt ~= sqrt3/1024,
-while a level-l brick spans B/res_l of the scene — so consecutive
-samples usually land in the SAME brick at all but the finest levels.
-Measured on ray-coherent sample sets (benchmarking/probe_components.py):
-a 24-sample ray touches ~70 distinct brick rows across all 16 levels,
-5.4x fewer than the 384 the per-sample encoder gathers.
+while a level-l brick spans B/res_l of the scene — consecutive samples
+usually land in the SAME brick at all but the finest levels, so
+deduplicating consecutive-duplicate runs in the row-id stream cuts the
+row count several-fold at coarse/mid levels.
 
-This module exploits that run structure exactly:
+This module holds the shared plan primitives consumed by the shipping
+stream-dedup encoder (ops/streambrick.py) and the fused expand+reduce
+kernel (ops/pallas/rayreduce_pallas.py):
 
-  1. compute every sample's final table row id (ops/brickgrid.brick_coords
-     — hashing included, so hash collisions dedup too),
-  2. flag run boundaries along the sample axis (rows[s] != rows[s-1]),
-  3. assign each run a slot in a per-(ray, level) unique-row table of
-     static per-level capacity U_l (caps calibrated from the measured
-     p99 run counts; see run_caps),
-  4. gather ONE table row per unique slot — R * sum(U_l) rows instead
-     of R * S * L,
-  5. expand unique rows back to per-sample rows with a batched one-hot
-     matmul on the MXU (no gather: the expansion rides the systolic
-     array, and its transpose makes the BACKWARD table gradient a
-     batched matmul + an R*sum(U_l)-row scatter),
-  6. feed the expanded rows to the shared trilerp reducers
-     (ops/brickgrid.reduce_feats[_jac]) — values are bit-identical to
-     the per-sample encoder wherever no cap overflows.
+  * `_unique_plan`: flag run boundaries (rows[s] != rows[s-1]), assign
+    each run a slot in a per-(batch row, level) unique table of static
+    per-level capacity U_l, and pack the unique row ids front-aligned
+    with a batched stable sort (scatter-free — an element scatter here
+    measured 10.5 ms/chunk on v5e).
+  * `_expand_unique`: unique rows -> per-sample rows via a batched
+    one-hot matmul on the MXU; its dot_general transpose makes the
+    backward table gradient a batched matmul + a U-row scatter.
+  * `_SAVE_PLAN`: the remat policy that saves outputs AND the plan so
+    the backward recompute never re-runs the gather or the plan sort.
 
-Cap overflow (a ray with more than U_l runs at level l) degrades
-gracefully: overflow samples reuse the U_l-th unique brick — a
-neighboring brick along the same ray, at a level whose feature field
-varies on a scale the overflow distance is small against. Forward and
-backward stay mutually consistent (gradients flow to the row actually
-read). Caps at the measured p99 leave <1% of rays with any overflow.
+The rectangle (R, capacity)-grid encoder that first used these
+primitives was superseded by the stream encoder (cost scales with the
+kept budget, no per-ray cap calibration) and deleted in round 5; see
+git history for `raybrick_encode`.
 
 The reference has no analog: its CUDA hash encoder (tinycudann) leans
 on the GPU L2 cache to absorb duplicate corner fetches. This is the
@@ -42,58 +35,22 @@ TPU-native expression of the same locality.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from jax.ad_checkpoint import checkpoint_name
-
-from .brickgrid import (BrickGridConfig, brick_coords, reduce_feats,
-                        reduce_feats_jac)
-from .gather import storage_cast, table_gather
+from .brickgrid import BrickGridConfig
 
 SQRT3 = float(np.sqrt(3.0))
 
-# Remat policy for the chunk bodies: save the outputs (so the backward
-# recompute never re-runs the unique-row gather — see brickgrid._SAVE_OUTS)
-# AND the dedup plan (uid/urows are small int arrays whose construction
-# costs a cumsum + batched sort per chunk; saving them keeps the
-# backward recompute to elementwise weight math + the expand transpose).
+# Remat policy for encoder chunk bodies: save the outputs (so the
+# backward recompute never re-runs the unique-row gather — see
+# brickgrid._SAVE_OUTS) AND the dedup plan (uid/urows are small int
+# arrays whose construction costs a cumsum + batched sort per chunk;
+# saving them keeps the backward recompute to elementwise weight math +
+# the expand transpose).
 _SAVE_PLAN = jax.checkpoint_policies.save_only_these_names(
     "brick_feats", "brick_jac", "raybrick_uid", "raybrick_urows")
-
-
-def run_caps(cfg: BrickGridConfig, spr: int, max_samples: int = 1024,
-             slack: float = 1.0, gap_pad: float = 3.0) -> tuple:
-    """Static per-level unique-run capacities U_l.
-
-    z = scale_l * spr * dt / B (dt = sqrt3 / max_samples) is the brick
-    crossings of a CONTIGUOUS spr-sample run; U = ceil(2.5 + 0.7 z)
-    tracks its p99 (probe_components.py). Real marches have occupancy
-    GAPS that both stretch the spanned distance (scaling the z term —
-    `slack`) and add span-proportional extra runs even at coarse levels
-    where z ~ 0 (the additive `gap_pad`). Calibrated on marched rays of
-    a mid-carve synthetic scene (PERF_NOTES.md): p99 run counts track
-    ceil(2.5 + gap_pad + 1.05 z) across all 16 levels at the defaults
-    (gap_pad 3, slack 1.5); the original contiguous formula overflowed
-    5-13% of rays per level there, each overflow sample silently
-    reusing a neighboring run's brick.
-    """
-    import os
-    if os.environ.get("INGP_DEDUP_FULLCAPS", "0") == "1":
-        # diagnostic: one slot per sample at every level — dedup still
-        # merges runs but can never overflow (exactness control)
-        return tuple(spr for _ in cfg.scales)
-    dt = SQRT3 / max_samples
-    B = cfg.brick_size
-    caps = []
-    for sc in cfg.scales:
-        z = sc * spr * dt / B
-        caps.append(int(min(spr,
-                            np.ceil(2.5 + gap_pad + 0.7 * slack * z))))
-    return tuple(caps)
 
 
 def _unique_plan(cfg: BrickGridConfig, rows, valid, caps,
@@ -159,186 +116,3 @@ def _expand_unique(g_u, uid, U_tot, expand_dtype):
         oh, g_u.astype(expand_dtype),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                 # (R, K, W)
-
-
-def _dedup_gather(cfg: BrickGridConfig, table, storage, xT, valid, caps):
-    """Shared front half: coords -> run dedup -> unique gather ->
-    expand. Returns (g (L*N, W) f32, local, frac, N) matching the
-    per-sample encoder's layout (N = R*S ray-major)."""
-    R, S = valid.shape
-    N = R * S
-    L = cfg.n_levels
-    rows, local, frac = brick_coords(cfg, xT)               # (L, N) ...
-    rows3 = rows.reshape(L, R, S)
-    caps = tuple(caps)
-    offs = np.concatenate([[0], np.cumsum(caps)]).astype(np.int32)
-    U_tot = int(offs[-1])
-
-    uid, urows = _unique_plan(cfg, rows3, valid, caps)
-    uid = checkpoint_name(uid, "raybrick_uid")
-    urows = checkpoint_name(urows, "raybrick_urows")
-    # keep the gathered block at storage precision: _expand_unique's
-    # one-hot matmul consumes it at expand_dtype anyway, so the f32
-    # materialization would be a pure convert pass over ~0.5 GB/chunk
-    g_u = table_gather(table, urows.reshape(-1), axis=0, storage=storage,
-                       keep_storage_dtype=True).reshape(R, U_tot, -1)
-    expand_dtype = jnp.bfloat16 if g_u.dtype == jnp.bfloat16 \
-        else jnp.float32
-    g = _expand_unique(g_u, uid, U_tot, expand_dtype)       # (R, L*S, W)
-    # (R, L, S, W) -> (L, R, S, W) -> (L*N, W) with N ray-major (r, s)
-    W = g.shape[-1]
-    g = jnp.transpose(g.reshape(R, L, S, W), (1, 0, 2, 3)
-                      ).reshape(L * N, W)
-    return g, local, frac, N
-
-
-def _try_fused(cfg, table, storage, xT, valid, caps, jac_lo, jac_hi,
-               with_jac):
-    """Fused Pallas expand+reduce path (ops/pallas/rayreduce_pallas.py);
-    returns None when the kernel doesn't cover the shape/backend."""
-    from .pallas.rayreduce_pallas import (fused_ray_reduce,
-                                          rayreduce_supported)
-    from .pallas.brickreduce_pallas import pallas_supported
-    R, S = valid.shape
-    L, F = cfg.n_levels, cfg.n_features
-    K = L * S
-    if not (rayreduce_supported(cfg.brick_size, F, cfg.row_width,
-                                jac_lo, jac_hi, K, R, with_jac)
-            and pallas_supported()):
-        return None
-    N = R * S
-    rows, local, frac = brick_coords(cfg, xT)
-    uid, urows = _unique_plan(cfg, rows.reshape(L, R, S), valid, caps)
-    uid = checkpoint_name(uid, "raybrick_uid")
-    urows = checkpoint_name(urows, "raybrick_urows")
-    U_tot = int(np.sum(caps))
-    # storage-dtype rows feed the kernel directly: bf16 halves the
-    # block's HBM round trip and the in-kernel expansion matmul runs
-    # at full MXU rate (exact — the rows are bf16 data). The env gate
-    # forces f32 rows (f32 matmuls + f32 table cotangents) for
-    # precision A/B runs.
-    import os
-    keep = os.environ.get("INGP_GATHER_KEEP_DTYPE", "1") == "1"
-    g_u = table_gather(table, urows.reshape(-1), axis=0, storage=storage,
-                       keep_storage_dtype=keep).reshape(R, U_tot, -1)
-
-    # lf planes (8, R, K), k = l*S + s
-    def to_rk(a):                               # (3, L, N) -> (3, R, K)
-        return jnp.transpose(a.reshape(3, L, R, S), (0, 2, 1, 3)
-                             ).reshape(3, R, K)
-    sc = jnp.repeat(jnp.asarray(cfg.scales, jnp.float32), S)  # (K,)
-    lf = jnp.concatenate([
-        to_rk(local.astype(jnp.float32)), to_rk(frac),
-        jnp.broadcast_to(sc, (1, R, K)),
-        jnp.zeros((1, R, K), jnp.float32)], axis=0)
-
-    feats_cm, jac_cm = fused_ray_reduce(g_u, uid, lf, F, with_jac,
-                                        jac_lo, jac_hi)
-    feats = jnp.transpose(feats_cm.reshape(F, R, L, S), (1, 3, 2, 0)
-                          ).reshape(N, L * F)
-    feats = checkpoint_name(feats, "brick_feats")
-    if not with_jac:
-        return feats, None
-    Fj = (F if jac_hi is None else jac_hi) - jac_lo
-    jac = jnp.transpose(jac_cm.reshape(3, Fj, R, L, S), (0, 2, 4, 3, 1)
-                        ).reshape(3, N, L * Fj)
-    return feats, checkpoint_name(jac, "brick_jac")
-
-
-def _encode_chunk_dedup(cfg, table, storage, caps, xT, valid):
-    fused = _try_fused(cfg, table, storage, xT, valid, caps, 0, None,
-                       with_jac=False)
-    if fused is not None:
-        feats = fused[0]
-    else:
-        g, local, frac, N = _dedup_gather(cfg, table, storage, xT,
-                                          valid, caps)
-        feats = reduce_feats(cfg, g, local, frac, N)
-    return jnp.where(valid.reshape(-1, 1), feats, 0.0)
-
-
-def _encode_grad_chunk_dedup(cfg, table, storage, caps, xT, valid,
-                             jac_lo, jac_hi):
-    fused = _try_fused(cfg, table, storage, xT, valid, caps, jac_lo,
-                       jac_hi, with_jac=True)
-    if fused is not None:
-        feats, jac = fused
-    else:
-        g, local, frac, N = _dedup_gather(cfg, table, storage, xT,
-                                          valid, caps)
-        feats, jac = reduce_feats_jac(cfg, g, local, frac, N, jac_lo,
-                                      jac_hi)
-    vmask = valid.reshape(-1)
-    return (jnp.where(vmask[:, None], feats, 0.0),
-            jnp.where(vmask[None, :, None], jac, 0.0))
-
-
-def _chunk_rays(x, valid, chunk_rays):
-    R = valid.shape[0]
-    pad = (-R) % chunk_rays
-    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    vp = jnp.pad(valid, ((0, pad), (0, 0)))
-    nc = (R + pad) // chunk_rays
-    xs = jnp.moveaxis(xp.reshape(3, nc, chunk_rays, -1), 1, 0)
-    vs = vp.reshape(nc, chunk_rays, -1)
-    return xs, vs, nc
-
-
-@partial(jax.jit, static_argnames=("cfg", "caps", "chunk_rays", "remat",
-                                   "storage_dtype"))
-def raybrick_encode(cfg: BrickGridConfig, table, x, valid, caps,
-                    chunk_rays: int = 4096, remat: bool = True,
-                    storage_dtype=None):
-    """Run-dedup encode of ray-structured positions.
-
-    Args:
-      x: (3, R, S) channel-major positions in [0,1]^3, S ordered
-         samples per ray (monotone t, valid prefix).
-      valid: (R, S) bool; invalid samples produce zero features.
-      caps: static per-level unique capacities (run_caps).
-
-    Returns (R*S, L*F) features, ray-major sample order.
-    """
-    L, F = cfg.n_levels, cfg.n_features
-    R, S = valid.shape
-    storage = storage_cast(table, storage_dtype)
-    x = x.astype(jnp.float32)
-    if R > chunk_rays:
-        xs, vs, _ = _chunk_rays(x, valid, chunk_rays)
-        body = lambda cv: _encode_chunk_dedup(
-            cfg, table, storage, caps, cv[0].reshape(3, -1), cv[1])
-        if remat:
-            body = jax.checkpoint(body, policy=_SAVE_PLAN)
-        out = jax.lax.map(body, (xs, vs))
-        return out.reshape(-1, L * F)[:R * S]
-    return _encode_chunk_dedup(cfg, table, storage, caps,
-                               x.reshape(3, -1), valid)
-
-
-@partial(jax.jit, static_argnames=("cfg", "caps", "chunk_rays", "remat",
-                                   "jac_lo", "jac_hi", "storage_dtype"))
-def raybrick_encode_grad(cfg: BrickGridConfig, table, x, valid, caps,
-                         chunk_rays: int = 4096, remat: bool = True,
-                         jac_lo: int = 0, jac_hi: int | None = None,
-                         storage_dtype=None):
-    """Run-dedup encode + analytic jacobian (see raybrick_encode).
-
-    Returns (feats (R*S, L*F), jac (3, R*S, L*Fj))."""
-    L, F = cfg.n_levels, cfg.n_features
-    Fj = (F if jac_hi is None else jac_hi) - jac_lo
-    R, S = valid.shape
-    storage = storage_cast(table, storage_dtype)
-    x = x.astype(jnp.float32)
-    if R > chunk_rays:
-        xs, vs, _ = _chunk_rays(x, valid, chunk_rays)
-        body = lambda cv: _encode_grad_chunk_dedup(
-            cfg, table, storage, caps, cv[0].reshape(3, -1), cv[1],
-            jac_lo, jac_hi)
-        if remat:
-            body = jax.checkpoint(body, policy=_SAVE_PLAN)
-        feats, jac = jax.lax.map(body, (xs, vs))
-        return (feats.reshape(-1, L * F)[:R * S],
-                jnp.moveaxis(jac, 1, 0).reshape(3, -1, L * Fj)[:, :R * S])
-    return _encode_grad_chunk_dedup(cfg, table, storage, caps,
-                                    x.reshape(3, -1), valid,
-                                    jac_lo, jac_hi)

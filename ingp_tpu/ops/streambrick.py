@@ -59,8 +59,8 @@ def stream_caps(cfg: BrickGridConfig, tile: int, max_samples: int = 1024,
     (TS * scale_l * dt / B, dt = sqrt3/max_samples) + ray-boundary run
     breaks (~TS / seg_est, seg_est = a conservative estimate of the
     shortest typical per-ray kept segment) + a small constant. `slack`
-    scales the crossing term for occupancy gaps (the calibration story
-    of raybrick.run_caps applies per tile here).
+    scales the crossing term for occupancy gaps (the run-cap
+    calibration story of PERF_NOTES.md applies per tile here).
     """
     dt = SQRT3 / max_samples
     B = cfg.brick_size
@@ -375,8 +375,45 @@ def _direct_reduce(cfg, g_d, local, frac, Lc, N, jac_lo, jac_hi,
                          level_lo=Lc, level_hi=L), None)
 
 
+def run_count_quantiles(cfg: BrickGridConfig, u_cm, tile: int,
+                        q: float = 0.995):
+    """Per-level q-quantile (over tiles) of the unique-run count a
+    TS-sample tile of the stream produces — the measured quantity the
+    static caps must cover (auto-calibration, VERDICT r4 item 7).
+
+    u_cm: (3, N) the SAME normalized ray-contiguous stream the encoder
+    sees (pre-padding; the pad tail would form one extra run). Returns
+    (L,) int32 — cheap (one coords pipeline + compares), jit-safe.
+    """
+    rows, _, _ = brick_coords(cfg, u_cm.astype(jnp.float32))  # (L, N)
+    L, N = rows.shape
+    T = N // tile
+    r3 = rows[:, :T * tile].reshape(L, T, tile)
+    prev = jnp.concatenate([jnp.full((L, T, 1), -1, r3.dtype),
+                            r3[:, :, :-1]], axis=2)
+    runs = jnp.sum(r3 != prev, axis=2)                        # (L, T)
+    k = min(T - 1, int(np.ceil(q * (T - 1))))
+    return jnp.sort(runs, axis=1)[:, k].astype(jnp.int32)
+
+
 def _tile_classes(cfg, tile, T, slack, seg_est, seg_head, head_frac,
-                  direct_frac):
+                  direct_frac, caps_override=None):
+    if caps_override is not None:
+        # enforce the monotone-in-level invariant group_levels and
+        # split_levels rely on (measured quantiles are nearly monotone
+        # already — finer levels break runs more often)
+        caps, m = [], 1
+        for c in caps_override:
+            m = max(m, int(c))
+            caps.append(min(tile, m))
+        caps = tuple(caps)
+        return [(caps, split_levels(caps, tile, direct_frac), T)]
+    return _tile_classes_formula(cfg, tile, T, slack, seg_est, seg_head,
+                                 head_frac, direct_frac)
+
+
+def _tile_classes_formula(cfg, tile, T, slack, seg_est, seg_head,
+                          head_frac, direct_frac):
     """Static per-chunk tile classes [(caps, Lc, Tc)].
 
     With seg_head/head_frac set (and the stream SORTED by per-ray kept
@@ -529,18 +566,20 @@ def _encode_chunk_stream(cfg, table, storage, classes, TS, xT,
 @partial(jax.jit, static_argnames=("cfg", "tile", "chunk", "remat",
                                    "storage_dtype", "slack", "seg_est",
                                    "direct_frac", "seg_head",
-                                   "head_frac"))
+                                   "head_frac", "caps_override"))
 def streambrick_encode(cfg: BrickGridConfig, table, x_cm,
                        tile: int = 256, chunk: int = 65536,
                        remat: bool = True, storage_dtype=None,
                        slack: float = 1.5, seg_est: int = 4,
                        direct_frac: float = 0.7, seg_head: int = 0,
-                       head_frac: float = 0.0):
+                       head_frac: float = 0.0, caps_override=None):
     """Encode a ray-contiguous compact stream x_cm (3, N) in [0,1]^3
     -> (N, L*F) features. N is padded internally to the tile size.
 
     seg_head/head_frac enable per-tile-CLASS run caps (_tile_classes);
-    only valid when the stream is sorted by per-ray kept count."""
+    only valid when the stream is sorted by per-ray kept count.
+    caps_override: static per-level cap tuple (auto-calibration,
+    run_count_quantiles) replacing the formula caps entirely."""
     L, F = cfg.n_levels, cfg.n_features
     storage = storage_cast(table, storage_dtype)
     x = x_cm.astype(jnp.float32)
@@ -550,7 +589,7 @@ def streambrick_encode(cfg: BrickGridConfig, table, x_cm,
     if xp.shape[1] > chunk:
         classes = _tile_classes(cfg, tile, chunk // tile, slack,
                                 seg_est, seg_head, head_frac,
-                                direct_frac)
+                                direct_frac, caps_override)
         body = lambda c: _encode_chunk_stream(
             cfg, table, storage, classes, tile, c, 0, None, False)
         if remat:
@@ -559,7 +598,8 @@ def streambrick_encode(cfg: BrickGridConfig, table, x_cm,
         out = jax.lax.map(body, xs)
         return out.reshape(-1, L * F)[:N]
     classes = _tile_classes(cfg, tile, xp.shape[1] // tile, slack,
-                            seg_est, seg_head, head_frac, direct_frac)
+                            seg_est, seg_head, head_frac, direct_frac,
+                            caps_override)
     return _encode_chunk_stream(cfg, table, storage, classes, tile,
                                 xp, 0, None, False)[:N]
 
@@ -567,14 +607,16 @@ def streambrick_encode(cfg: BrickGridConfig, table, x_cm,
 @partial(jax.jit, static_argnames=("cfg", "tile", "chunk", "remat",
                                    "jac_lo", "jac_hi", "storage_dtype",
                                    "slack", "seg_est", "direct_frac",
-                                   "seg_head", "head_frac"))
+                                   "seg_head", "head_frac",
+                                   "caps_override"))
 def streambrick_encode_grad(cfg: BrickGridConfig, table, x_cm,
                             tile: int = 256, chunk: int = 65536,
                             remat: bool = True, jac_lo: int = 0,
                             jac_hi: int | None = None,
                             storage_dtype=None, slack: float = 1.5,
                             seg_est: int = 4, direct_frac: float = 0.7,
-                            seg_head: int = 0, head_frac: float = 0.0):
+                            seg_head: int = 0, head_frac: float = 0.0,
+                            caps_override=None):
     """Encode + analytic jacobian over a ray-contiguous stream.
 
     Returns (feats (N, L*F), jac (3, N, L*Fj))."""
@@ -588,7 +630,7 @@ def streambrick_encode_grad(cfg: BrickGridConfig, table, x_cm,
     if xp.shape[1] > chunk:
         classes = _tile_classes(cfg, tile, chunk // tile, slack,
                                 seg_est, seg_head, head_frac,
-                                direct_frac)
+                                direct_frac, caps_override)
         body = lambda c: _encode_chunk_stream(
             cfg, table, storage, classes, tile, c, jac_lo, jac_hi, True)
         if remat:
@@ -598,7 +640,8 @@ def streambrick_encode_grad(cfg: BrickGridConfig, table, x_cm,
         return (feats.reshape(-1, L * F)[:N],
                 jnp.moveaxis(jac, 1, 0).reshape(3, -1, L * Fj)[:, :N])
     classes = _tile_classes(cfg, tile, xp.shape[1] // tile, slack,
-                            seg_est, seg_head, head_frac, direct_frac)
+                            seg_est, seg_head, head_frac, direct_frac,
+                            caps_override)
     feats, jac = _encode_chunk_stream(cfg, table, storage, classes,
                                       tile, xp, jac_lo, jac_hi, True)
     return feats[:N], jac[:, :N]

@@ -116,13 +116,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--pallas_composite", action="store_true",
                         default=False,
                         help="fused Pallas composite kernel (TPU)")
-    parser.add_argument("--ray_dedup", action="store_true", default=False,
-                        help="ray-run dedup encoding (ops/raybrick.py): "
-                             "one table row per brick run along each "
-                             "ray; requires brick/fused encoder, "
-                             "constant-dt scenes")
-    parser.add_argument("--dedup_slack", type=float, default=1.5,
-                        help="run-cap headroom factor for ray_dedup")
+    parser.add_argument("--stream_autocal", action="store_true",
+                        default=False,
+                        help="derive stream-dedup run caps from "
+                             "MEASURED per-tile run statistics of real "
+                             "batches (adopt-then-grow; a few "
+                             "recompiles) instead of the --stream_seg "
+                             "formula guess")
     parser.add_argument("--stream_dedup", action="store_true",
                         default=False,
                         help="stream-dedup encoding on the compacted "

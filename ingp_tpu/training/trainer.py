@@ -73,21 +73,11 @@ def model_config_from_hparams(h) -> NGPConfig:
 
 def render_config_from_hparams(h, test=False) -> RenderConfig:
     exp_step = 1.0 / 256 if h.dataset_name in REAL_DATASETS else 0.0
-    # ray_dedup renders on the (R, capacity) march grid with run-dedup
-    # encode and the same global K = R*samples_per_ray budget as the
-    # compact path (see RenderConfig). Requires the brick/fused encoder
-    # and a constant-dt lattice (exp_step 0, where the run-cap
-    # calibration holds).
-    # stream_dedup (the compact-stream encoder) supersedes the
-    # rectangle path: when both flags are set, the stream path wins.
-    # The dedup'd variant at the validated caps (seg 4 / slack 1.5) is
-    # FULL quality parity with the per-sample control (26.13/0.872 vs
-    # 26.15/0.873 novel at 600 steps, PERF_NOTES round-3 quality gate);
-    # direct_frac=0.0 remains the per-sample-exact fallback.
-    ray_dedup = (getattr(h, "ray_dedup", False) and exp_step == 0.0
-                 and not test   # test path keeps the two-phase renderer
-                 and not getattr(h, "stream_dedup", False)
-                 and getattr(h, "encoder", "hash") in ("brick", "fused"))
+    # The stream_dedup encoder (ops/streambrick.py, an NGPConfig knob)
+    # at the validated caps is FULL quality parity with the per-sample
+    # control (26.13/0.872 vs 26.15/0.873 novel at 600 steps,
+    # PERF_NOTES round-3 quality gate); stream_direct_frac=0.0 remains
+    # the per-sample-exact fallback.
     spr = getattr(h, "samples_per_ray", 48)
     return RenderConfig(
         exp_step_factor=exp_step,
@@ -100,8 +90,8 @@ def render_config_from_hparams(h, test=False) -> RenderConfig:
         random_bg=h.random_bg,
         stop_header_grads=test,
         pallas_composite=getattr(h, "pallas_composite", False),
-        ray_dedup=ray_dedup,
-        dedup_slack=getattr(h, "dedup_slack", 1.5),
+        run_stats=(not test and getattr(h, "stream_autocal", False)
+                   and getattr(h, "stream_dedup", False)),
         stream_sort=getattr(h, "stream_sort", True),
     )
 
@@ -310,6 +300,8 @@ class NeRFSystem:
                     "loss_terms": {k: jnp.mean(v)
                                    for k, v in loss_d.items()},
                 }
+                if "stream_runs" in results:
+                    aux["stream_runs"] = results["stream_runs"]
                 return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(
@@ -412,7 +404,39 @@ class NeRFSystem:
                 self._march_table(), self.directions, self.poses,
                 dev_batch, self._step_dev, key)
         self.global_step += 1
+        if "stream_runs" in aux:
+            self._maybe_grow_stream_caps(aux["stream_runs"])
         return aux
+
+    # cap auto-calibration (VERDICT r4 item 7): caps derive from the
+    # MEASURED per-tile run counts of real batches instead of the
+    # seg_est guess. Caps grow monotonically (adopt-then-grow), so the
+    # step recompiles at most a handful of times as the carving grid
+    # reshapes the kept-segment distribution (overflow marking keeps
+    # the brief pre-growth lag non-corrupting — zero-feature
+    # degradation at worst, never row aliasing).
+    AUTOCAL_MARGIN = 8        # slots above the measured p99.5
+    AUTOCAL_EVERY = 16        # host-read cadence (the grid cadence)
+
+    def _maybe_grow_stream_caps(self, runs_dev):
+        if self.global_step % self.AUTOCAL_EVERY != 0:
+            return
+        runs = np.asarray(runs_dev)
+        aligned = ((runs + self.AUTOCAL_MARGIN + 7) // 8 * 8)
+        target = np.minimum(aligned, self.model_cfg.stream_tile)
+        cur = self.model_cfg.stream_caps
+        if cur is None:
+            new = tuple(int(c) for c in target)
+        elif np.any(target > np.asarray(cur)):
+            new = tuple(int(max(c, t)) for c, t in zip(cur, target))
+        else:
+            return
+        import dataclasses as _dc
+        self.model_cfg = _dc.replace(self.model_cfg, stream_caps=new)
+        self._build_step()          # recompiles on next call
+        if jax.process_index() == 0:
+            print(f"[autocal] step {self.global_step}: stream caps -> "
+                  f"{new}", flush=True)
 
     # ------------------------------------------------------------------
     def render_image(self, pose, chunk_size=None, embedding=None):

@@ -67,9 +67,20 @@ class AsyncCkptManager:
         if target is None:
             return self._mgr.restore(step)
         restore_args = ocp.checkpoint_utils.construct_restore_args(target)
-        return self._mgr.restore(
-            step, args=ocp.args.PyTreeRestore(
-                item=target, restore_args=restore_args))
+        try:
+            return self._mgr.restore(
+                step, args=ocp.args.PyTreeRestore(
+                    item=target, restore_args=restore_args))
+        except (ValueError, KeyError, TypeError):
+            # The saved tree's structure differs from the live target
+            # (older checkpoint, slim export without opt_state, grid
+            # saved without block_table, ...). PyTreeRestore(item=...)
+            # requires an exact structure match and raises inside orbax
+            # before the caller's tolerant prefix-filtered handling
+            # (trainer.load_state) can run — fall back to the
+            # untargeted restore and let the caller cope, as it did
+            # before targeted restores existed.
+            return self._mgr.restore(step)
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

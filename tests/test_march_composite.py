@@ -343,148 +343,3 @@ def test_ref_loss_composites_with_weights():
     np.testing.assert_allclose(np.asarray(Rp),
                                (np.asarray(ws)[..., None] * diff).sum(1),
                                rtol=1e-4)
-
-
-def test_composite_stream_matches_grid():
-    """composite_stream on a ray-major compact stream == composite_rays
-    + ref_loss + distortion_loss on the scattered (R, S) grid — values
-    and gradients."""
-    from ingp_tpu.ops.composite import composite_stream, distortion_loss
-    from ingp_tpu.ops.pack import (compact_samples, gather_samples,
-                                   gather_samples_cm)
-
-    rng = np.random.default_rng(11)
-    R, S, K = 24, 16, 280
-    valid = np.zeros((R, S), bool)
-    for r in range(R):
-        valid[r, :rng.integers(0, S + 1)] = True
-    sig = (rng.random((R, S)) * 40).astype(np.float32)
-    dt = np.full((R, S), 0.01, np.float32)
-    t = np.cumsum(dt, -1).astype(np.float32)
-    rgb = rng.random((3, R, S)).astype(np.float32)
-    npred = rng.random((3, R, S)).astype(np.float32)
-    ori = rng.random((R, S)).astype(np.float32)
-
-    plan = compact_samples(jnp.asarray(valid), K)
-
-    def stream_out(sig_j, rgb_j):
-        sig_k = jnp.where(plan.slot_valid,
-                          gather_samples(sig_j, plan), 0.0)
-        out = composite_stream(
-            sig_k, gather_samples_cm(rgb_j, plan),
-            gather_samples(jnp.asarray(t), plan),
-            gather_samples(jnp.asarray(dt), plan),
-            counts=jnp.sum(plan.cell_valid, -1),
-            slot_valid=plan.slot_valid, T_threshold=1e-4,
-            normals_pred=gather_samples_cm(jnp.asarray(npred), plan),
-            normals_diff=gather_samples_cm(jnp.asarray(npred) ** 2, plan),
-            normals_ori=gather_samples(jnp.asarray(ori), plan))
-        return out
-
-    def grid_out(sig_j, rgb_j):
-        v = plan.cell_valid
-        out = composite_rays(sig_j, rgb_j, jnp.asarray(dt),
-                             jnp.asarray(t), v, 1e-4,
-                             normals_pred=jnp.asarray(npred))
-        Ro, Rp = ref_loss(jax.lax.stop_gradient(sig_j),
-                          jnp.asarray(npred) ** 2, jnp.asarray(ori),
-                          jnp.asarray(dt), v, 1e-4)
-        out["Ro"], out["Rp"] = Ro, Rp
-        out["distortion"] = distortion_loss(out["ws"], jnp.asarray(dt),
-                                            jnp.asarray(t), v)
-        return out
-
-    a = stream_out(jnp.asarray(sig), jnp.asarray(rgb))
-    b = grid_out(jnp.asarray(sig), jnp.asarray(rgb))
-    for k in ("opacity", "depth", "rgb", "normal_pred", "Ro", "Rp",
-              "distortion", "vr_samples"):
-        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
-                                   rtol=2e-4, atol=1e-5, err_msg=k)
-
-    def loss_s(args):
-        o = stream_out(*args)
-        return (jnp.sum(o["rgb"] ** 2) + jnp.sum(o["depth"])
-                + jnp.sum(o["distortion"]) + jnp.sum(o["Rp"]))
-
-    def loss_g(args):
-        o = grid_out(*args)
-        return (jnp.sum(o["rgb"] ** 2) + jnp.sum(o["depth"])
-                + jnp.sum(o["distortion"]) + jnp.sum(o["Rp"]))
-
-    ga = jax.grad(loss_s)((jnp.asarray(sig), jnp.asarray(rgb)))
-    gb = jax.grad(loss_g)((jnp.asarray(sig), jnp.asarray(rgb)))
-    for x, y, nm in ((ga[0], gb[0], "dsig"), (ga[1], gb[1], "drgb")):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   rtol=2e-3, atol=1e-5, err_msg=nm)
-
-
-def test_composite_stream_production_scale_exact():
-    """Adversarial PRODUCTION-scale stream: K ~ 2e5 slots whose
-    accumulated sigma*dt across the whole batch reaches ~1e5 while
-    individual rays stay moderate. The retired global-cumsum
-    formulation recovered per-sample values by cancelling against that
-    global running total and lost the f32 low bits exactly here (the
-    round-3 600-step NaN divergence); the segmented scan must match an
-    independent float64 per-segment reference to f32 accuracy at any K.
-    """
-    from ingp_tpu.ops.composite import composite_stream
-
-    rng = np.random.default_rng(5)
-    R, Smax = 8192, 24
-    counts = rng.integers(0, Smax + 1, R)
-    counts[0] = 0                        # empty-first-segment edge case
-    counts[-3:] = 0                      # empty trailing rays
-    Kv = int(counts.sum())
-    K = Kv + 7                           # ragged tail padding
-    sig = (rng.random(K) * 400).astype(np.float32)
-    dt = np.full(K, 0.005, np.float32)
-    t = rng.random(K).astype(np.float32)
-    rgb = rng.random((3, K)).astype(np.float32)
-    slot_valid = np.zeros(K, bool)
-    slot_valid[:Kv] = True
-    sig[~slot_valid] = 0.0
-
-    out = composite_stream(
-        jnp.asarray(sig), jnp.asarray(rgb), jnp.asarray(t),
-        jnp.asarray(dt), counts=jnp.asarray(counts.astype(np.int32)),
-        slot_valid=jnp.asarray(slot_valid), T_threshold=1e-4)
-
-    # independent float64 per-segment reference (f64 carries the global
-    # magnitude without losing per-sample bits)
-    seg_of = np.repeat(np.arange(R), counts)
-    sd = (sig.astype(np.float64) * dt)[:Kv]
-    cum = np.cumsum(sd)
-    starts = (np.cumsum(counts) - counts)[seg_of]
-    base = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0.0)
-    Ts = np.exp(-(cum - sd - base))
-    include = Ts > 1e-4
-    ws = np.where(include, (1.0 - np.exp(-sd)) * Ts, 0.0)
-
-    def seg_sum(q):
-        return np.bincount(seg_of, weights=q, minlength=R)
-
-    np.testing.assert_allclose(np.asarray(out["opacity"]), seg_sum(ws),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out["depth"]),
-                               seg_sum(ws * t[:Kv]), rtol=1e-5,
-                               atol=1e-6)
-    for c in range(3):
-        np.testing.assert_allclose(np.asarray(out["rgb"])[:, c],
-                                   seg_sum(ws * rgb[c, :Kv]),
-                                   rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out["vr_samples"]),
-                               seg_sum((ws > 0).astype(np.float64)),
-                               atol=0)
-
-    # gradients stay finite at this scale (the old path went NaN)
-    def loss(s, c):
-        o = composite_stream(
-            s, c, jnp.asarray(t), jnp.asarray(dt),
-            counts=jnp.asarray(counts.astype(np.int32)),
-            slot_valid=jnp.asarray(slot_valid), T_threshold=1e-4)
-        return (jnp.sum(o["rgb"] ** 2) + jnp.sum(o["distortion"])
-                + jnp.sum(o["depth"]))
-    gs, gc = jax.grad(loss, argnums=(0, 1))(jnp.asarray(sig),
-                                            jnp.asarray(rgb))
-    assert np.isfinite(np.asarray(gs)).all()
-    assert np.isfinite(np.asarray(gc)).all()

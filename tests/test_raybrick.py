@@ -1,22 +1,18 @@
-"""Ray-run dedup encoder vs the per-sample brick encoder.
+"""Run-dedup plan primitives (ops/raybrick.py) vs a dense reference.
 
-With per-level caps == S (a ray can never have more than S runs), the
-dedup path must reproduce the per-sample encoder EXACTLY — same rows
-gathered, same trilerp weights, same reduction. Overflowing caps only
-degrades which brick an overflow sample reads; shapes and gradients
-stay finite and consistent.
+The rectangle-grid encoder that first used these primitives was
+deleted in round 5 (superseded by ops/streambrick.py, which is covered
+by tests/test_streambrick.py); _unique_plan and _expand_unique remain
+the shared machinery of the stream encoder's XLA fallback and the
+fused rayreduce kernel, so they keep direct coverage here.
 """
-import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from ingp_tpu.ops.brickgrid import (BrickGridConfig, brickgrid_init,
-                                    brickgrid_encode,
-                                    brickgrid_encode_grad)
-from ingp_tpu.ops.raybrick import (raybrick_encode, raybrick_encode_grad,
-                                   run_caps)
+                                    brick_coords)
+from ingp_tpu.ops.raybrick import _unique_plan, _expand_unique
 
 CFG = BrickGridConfig(n_levels=6, n_features=4, log2_bricks=8,
                       base_resolution=16, per_level_scale=1.5)
@@ -34,205 +30,103 @@ def ray_positions(key, R=R, S=S, dt=np.sqrt(3) / 256):
     return jnp.clip(jnp.transpose(x, (2, 0, 1)), 0.0, 1.0)  # (3, R, S)
 
 
-def test_matches_per_sample_encoder_full_caps():
-    key = jax.random.PRNGKey(0)
-    table = brickgrid_init(key, CFG)
+def _plan_inputs(seed, valid=None):
+    key = jax.random.PRNGKey(seed)
     x = ray_positions(key)
-    valid = jnp.ones((R, S), bool)
+    rows, _, _ = brick_coords(CFG, x.reshape(3, -1))
+    rows3 = rows.reshape(CFG.n_levels, R, S)
+    if valid is None:
+        valid = jnp.ones((R, S), bool)
+    return rows3, valid
+
+
+def test_unique_plan_expand_reconstructs_rows():
+    """With caps == S (no overflow possible), expanding the unique rows
+    through uid must reproduce every valid sample's row id exactly."""
+    rows3, valid = _plan_inputs(0)
     caps = (S,) * CFG.n_levels
+    uid, urows = _unique_plan(CFG, rows3, valid, caps)
 
-    ref = brickgrid_encode(CFG, table, x.reshape(3, -1), x_cm=True)
-    out = raybrick_encode(CFG, table, x, valid, caps)
-    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
+    # expand the row IDS themselves through the one-hot: exact in f32
+    U = int(np.sum(caps))
+    g_u = jnp.asarray(urows, jnp.float32)[..., None]     # (R, U, 1)
+    expanded = _expand_unique(g_u, uid, U, jnp.float32)[..., 0]
+    expanded = np.asarray(expanded).reshape(R, CFG.n_levels, S)
+    want = np.transpose(np.asarray(rows3), (1, 0, 2))    # (R, L, S)
+    np.testing.assert_array_equal(expanded, want)
 
 
-def test_matches_with_chunking_and_partial_valid():
+def test_unique_plan_partial_valid_prefix():
     key = jax.random.PRNGKey(1)
-    table = brickgrid_init(key, CFG)
-    x = ray_positions(key)
     n = jax.random.randint(key, (R,), 0, S + 1)
     valid = jnp.arange(S)[None, :] < n[:, None]
+    rows3, _ = _plan_inputs(1)
     caps = (S,) * CFG.n_levels
+    uid, urows = _unique_plan(CFG, rows3, valid, caps)
+    U = int(np.sum(caps))
+    g_u = jnp.asarray(urows, jnp.float32)[..., None]
+    expanded = np.asarray(
+        _expand_unique(g_u, uid, U, jnp.float32)[..., 0]
+        ).reshape(R, CFG.n_levels, S)
+    want = np.transpose(np.asarray(rows3), (1, 0, 2))
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(expanded[v.reshape(R, 1, S)
+                                           .repeat(CFG.n_levels, 1)],
+                                  want[v.reshape(R, 1, S)
+                                       .repeat(CFG.n_levels, 1)])
 
-    ref = brickgrid_encode(CFG, table, x.reshape(3, -1), x_cm=True)
-    ref = jnp.where(valid.reshape(-1, 1), ref, 0.0)
-    out = raybrick_encode(CFG, table, x, valid, caps, chunk_rays=8)
-    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
 
-
-def test_grad_variant_matches():
-    key = jax.random.PRNGKey(2)
-    table = brickgrid_init(key, CFG)
-    x = ray_positions(key)
-    valid = jnp.ones((R, S), bool)
+def test_unique_plan_slot_count_matches_runs():
+    """Slot ids are dense per (ray, level): max uid + 1 == run count."""
+    rows3, valid = _plan_inputs(2)
     caps = (S,) * CFG.n_levels
-
-    f_ref, j_ref = brickgrid_encode_grad(CFG, table, x.reshape(3, -1),
-                                         x_cm=True)
-    f, j = raybrick_encode_grad(CFG, table, x, valid, caps)
-    np.testing.assert_allclose(f, f_ref, rtol=1e-6, atol=1e-7)
-    np.testing.assert_allclose(j, j_ref, rtol=1e-6, atol=1e-6)
-
-
-def test_table_gradients_match():
-    key = jax.random.PRNGKey(3)
-    table = brickgrid_init(key, CFG)
-    x = ray_positions(key)
-    valid = jnp.ones((R, S), bool)
-    caps = (S,) * CFG.n_levels
-    w = jax.random.normal(key, (R * S, CFG.out_dim))
-
-    g_ref = jax.grad(lambda t: jnp.sum(
-        brickgrid_encode(CFG, t, x.reshape(3, -1), x_cm=True) * w))(table)
-    g = jax.grad(lambda t: jnp.sum(
-        raybrick_encode(CFG, t, x, valid, caps) * w))(table)
-    np.testing.assert_allclose(g, g_ref, rtol=1e-5, atol=1e-6)
+    uid, _ = _unique_plan(CFG, rows3, valid, caps)
+    uid = np.asarray(uid).reshape(R, CFG.n_levels, S)
+    rows_n = np.asarray(rows3)
+    offs = np.concatenate([[0], np.cumsum(caps)])
+    for l in range(CFG.n_levels):
+        for r in range(4):                # spot-check a few rays
+            runs = 1 + int(np.sum(rows_n[l, r, 1:] != rows_n[l, r, :-1]))
+            local = uid[r, l] - offs[l]
+            assert local.max() == runs - 1
+            # runs are consecutive-duplicate groups: uid monotone
+            assert (np.diff(local) >= 0).all()
 
 
-def test_bf16_storage_matches_per_sample_bf16():
-    key = jax.random.PRNGKey(4)
-    table = brickgrid_init(key, CFG)
-    x = ray_positions(key)
-    valid = jnp.ones((R, S), bool)
-    caps = (S,) * CFG.n_levels
-
-    ref = brickgrid_encode(CFG, table, x.reshape(3, -1), x_cm=True,
-                           storage_dtype=jnp.bfloat16)
-    out = raybrick_encode(CFG, table, x, valid, caps,
-                          storage_dtype=jnp.bfloat16)
-    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
-
-
-def test_tight_caps_graceful():
-    key = jax.random.PRNGKey(5)
-    table = brickgrid_init(key, CFG)
-    x = ray_positions(key)
-    valid = jnp.ones((R, S), bool)
-    caps = (2,) * CFG.n_levels   # force overflow at fine levels
-
-    out = raybrick_encode(CFG, table, x, valid, caps)
-    assert out.shape == (R * S, CFG.out_dim)
-    assert bool(jnp.all(jnp.isfinite(out)))
-    g = jax.grad(lambda t: jnp.sum(
-        raybrick_encode(CFG, t, x, valid, caps) ** 2))(table)
-    assert bool(jnp.all(jnp.isfinite(g)))
+def test_unique_plan_overflow_marking():
+    rows3, valid = _plan_inputs(3)
+    caps = (2,) * CFG.n_levels           # force overflow at fine levels
+    uid, urows, ovf = _unique_plan(CFG, rows3, valid, caps,
+                                   with_overflow=True)
+    ovf = np.asarray(ovf)
+    assert ovf.any()                     # fine levels must overflow
+    # overflowing samples alias the last slot of their level
+    uid = np.asarray(uid).reshape(R, CFG.n_levels, S)
+    offs = np.concatenate([[0], np.cumsum(caps)])
+    for l in range(CFG.n_levels):
+        ol = ovf[l]                      # (R, S), matches uid[:, l, :]
+        if ol.any():
+            assert (uid[:, l, :][ol] == offs[l] + caps[l] - 1).all()
+    # non-overflowing cells still reconstruct exactly
+    U = int(np.sum(caps))
+    g_u = jnp.asarray(urows, jnp.float32)[..., None]
+    expanded = np.asarray(_expand_unique(
+        g_u, jnp.asarray(uid.reshape(R, -1)), U, jnp.float32)[..., 0]
+        ).reshape(R, CFG.n_levels, S)
+    want = np.transpose(np.asarray(rows3), (1, 0, 2))
+    ok = ~np.transpose(ovf, (1, 0, 2))   # (R, L, S)
+    np.testing.assert_array_equal(expanded[ok], want[ok])
 
 
-def test_run_caps_monotone_and_bounded():
-    caps = run_caps(CFG, spr=24)
-    assert len(caps) == CFG.n_levels
-    assert all(1 <= c <= 24 for c in caps)
-    assert list(caps) == sorted(caps)
-
-
-def test_zero_valid_ray():
-    key = jax.random.PRNGKey(6)
-    table = brickgrid_init(key, CFG)
-    x = ray_positions(key)
-    valid = jnp.zeros((R, S), bool)
-    caps = (S,) * CFG.n_levels
-    out = raybrick_encode(CFG, table, x, valid, caps)
-    assert float(jnp.abs(out).max()) == 0.0
-
-
-def test_render_path_matches_compact_path():
-    """render_rays with ray_dedup must reproduce the compact path
-    (same samples, same math) at capacity == samples_per_ray."""
-    from ingp_tpu.models import (NGPConfig, ngp_init, RenderConfig,
-                                 render_rays)
-
-    cfg = NGPConfig(scale=0.5, density_L=4, density_log2T=12, rgb_L=4,
-                    rgb_log2T=12, classes=3, grid_size=32,
-                    encoder="brick")
-    params = ngp_init(jax.random.PRNGKey(0), cfg)
-    params["density_table"] = params["density_table"] * 2e3
-
-    bitfield = jnp.full((cfg.cascades * cfg.grid_size ** 3 // 32,),
-                        0xFFFFFFFF, jnp.uint32)
-    rng = np.random.default_rng(3)
-    Rr = 64
-    ro = np.stack([rng.uniform(-0.3, 0.3, Rr),
-                   rng.uniform(-0.3, 0.3, Rr),
-                   np.full(Rr, -1.4)], -1).astype(np.float32)
-    rd = np.stack([rng.uniform(-0.1, 0.1, Rr),
-                   rng.uniform(-0.1, 0.1, Rr),
-                   np.ones(Rr)], -1).astype(np.float32)
-    args = (jnp.asarray(ro), jnp.asarray(rd), jnp.zeros(Rr))
-
-    base = RenderConfig(capacity=64, march_iters=128, samples_per_ray=64)
-    dd = dataclasses.replace(base, ray_dedup=True, dedup_slack=4.0)
-    ref = render_rays(cfg, base, params, bitfield, *args)
-    out = render_rays(cfg, dd, params, bitfield, *args)
-    for k in ("rgb", "depth", "opacity", "normal_pred", "semantic",
-              "Ro", "Rp", "distortion"):
-        np.testing.assert_allclose(np.asarray(out[k]),
-                                   np.asarray(ref[k]), rtol=2e-4,
-                                   atol=2e-5, err_msg=k)
-
-    # gradients agree too (the whole point: same math, fewer rows)
-    def loss(fn_cfg):
-        def f(p):
-            r = render_rays(cfg, fn_cfg, p, bitfield, *args)
-            return jnp.mean(r["rgb"] ** 2) + jnp.mean(r["Rp"])
-        return f
-
-    g_ref = jax.grad(loss(base))(params)
-    g_out = jax.grad(loss(dd))(params)
-    for k in ("density_table", "rgb_table"):
-        np.testing.assert_allclose(np.asarray(g_out[k]),
-                                   np.asarray(g_ref[k]), rtol=1e-3,
-                                   atol=1e-7, err_msg=k)
-
-
-def test_render_path_matches_compact_path_binding_budget():
-    """capacity > samples_per_ray with the global budget BINDING: the
-    dedup path must keep compact_samples' exact sample-major kept set,
-    reproducing the compact path's outputs and table gradients."""
-    from ingp_tpu.models import (NGPConfig, ngp_init, RenderConfig,
-                                 render_rays)
-
-    cfg = NGPConfig(scale=0.5, density_L=4, density_log2T=12, rgb_L=4,
-                    rgb_log2T=12, classes=3, grid_size=32,
-                    encoder="brick")
-    params = ngp_init(jax.random.PRNGKey(1), cfg)
-    params["density_table"] = params["density_table"] * 2e3
-
-    bitfield = jnp.full((cfg.cascades * cfg.grid_size ** 3 // 32,),
-                        0xFFFFFFFF, jnp.uint32)
-    rng = np.random.default_rng(5)
-    Rr = 64
-    ro = np.stack([rng.uniform(-0.3, 0.3, Rr),
-                   rng.uniform(-0.3, 0.3, Rr),
-                   np.full(Rr, -1.4)], -1).astype(np.float32)
-    rd = np.stack([rng.uniform(-0.1, 0.1, Rr),
-                   rng.uniform(-0.1, 0.1, Rr),
-                   np.ones(Rr)], -1).astype(np.float32)
-    args = (jnp.asarray(ro), jnp.asarray(rd), jnp.zeros(Rr))
-
-    # full bitfield + capacity 64 marches ~64 samples/ray; budget
-    # K = 64*16 binds hard
-    base = RenderConfig(capacity=64, march_iters=128, samples_per_ray=16)
-    dd = dataclasses.replace(base, ray_dedup=True, dedup_slack=4.0)
-    ref = render_rays(cfg, base, params, bitfield, *args)
-    out = render_rays(cfg, dd, params, bitfield, *args)
-    assert float(jnp.sum(ref["valid"])) == 64 * 16  # budget really binds
-    for k in ("rgb", "depth", "opacity", "normal_pred", "semantic",
-              "Ro", "Rp", "distortion"):
-        np.testing.assert_allclose(np.asarray(out[k]),
-                                   np.asarray(ref[k]), rtol=2e-4,
-                                   atol=2e-5, err_msg=k)
-    np.testing.assert_array_equal(np.asarray(out["valid"]),
-                                  np.asarray(ref["valid"]))
-
-    def loss(fn_cfg):
-        def f(p):
-            r = render_rays(cfg, fn_cfg, p, bitfield, *args)
-            return jnp.mean(r["rgb"] ** 2) + jnp.mean(r["Rp"])
-        return f
-
-    g_ref = jax.grad(loss(base))(params)
-    g_out = jax.grad(loss(dd))(params)
-    for k in ("density_table", "rgb_table"):
-        np.testing.assert_allclose(np.asarray(g_out[k]),
-                                   np.asarray(g_ref[k]), rtol=1e-3,
-                                   atol=1e-7, err_msg=k)
+def test_expand_unique_bf16_exact_for_bf16_rows():
+    """bf16 one-hot expansion of bf16 rows is bitwise the gathered
+    value (the one-hot is exact in bf16)."""
+    rng = np.random.default_rng(7)
+    Rr, U, K, W = 4, 8, 16, 32
+    g_u = jnp.asarray(rng.standard_normal((Rr, U, W)).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    uid = jnp.asarray(rng.integers(0, U, (Rr, K)).astype(np.int32))
+    out = _expand_unique(g_u, uid, U, jnp.bfloat16)
+    want = np.take_along_axis(np.asarray(g_u, np.float32),
+                              np.asarray(uid)[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(out), want)

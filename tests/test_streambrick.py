@@ -339,3 +339,56 @@ def test_all_direct_mode_matches_per_sample():
         * wf))(table)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_run_count_quantiles_and_caps_override():
+    """run_count_quantiles measures the per-tile unique-run counts the
+    caps must cover, and caps_override reproduces the formula path
+    exactly when set to the formula caps (auto-calibration plumbing)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ingp_tpu.ops.brickgrid import BrickGridConfig, brickgrid_init
+    from ingp_tpu.ops.streambrick import (
+        run_count_quantiles, stream_caps, streambrick_encode)
+
+    cfg = BrickGridConfig(n_levels=6, n_features=4, log2_bricks=10,
+                          base_resolution=16, per_level_scale=1.5)
+    rng = np.random.default_rng(3)
+    # ray-like stream: 16-sample segments along random directions
+    segs = []
+    dt = np.sqrt(3) / 256
+    for _ in range(64):
+        o = rng.random(3) * 0.5 + 0.25
+        d = rng.standard_normal(3)
+        d /= np.linalg.norm(d)
+        t = np.arange(16)[:, None] * dt
+        segs.append(np.clip(o + t * d, 0.0, 1.0))
+    x = jnp.asarray(np.concatenate(segs).astype(np.float32).T)  # (3,1024)
+
+    tile = 128
+    q = np.asarray(run_count_quantiles(cfg, x, tile, q=1.0))
+    assert q.shape == (cfg.n_levels,)
+    # exact reference per tile
+    from ingp_tpu.ops.brickgrid import brick_coords
+    rows = np.asarray(brick_coords(cfg, x)[0])
+    T = x.shape[1] // tile
+    r3 = rows[:, :T * tile].reshape(cfg.n_levels, T, tile)
+    runs = (np.concatenate([np.full((cfg.n_levels, T, 1), -1),
+                            r3[:, :, :-1]], 2) != r3).sum(2)
+    np.testing.assert_array_equal(q, runs.max(axis=1))
+
+    # override == formula caps -> identical features
+    table = brickgrid_init(jax.random.PRNGKey(0), cfg)
+    caps = stream_caps(cfg, tile)
+    a = streambrick_encode(cfg, table, x, tile=tile)
+    b = streambrick_encode(cfg, table, x, tile=tile, caps_override=caps)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # generous measured caps (>= max runs everywhere): overflow-free,
+    # so the encode must be exact vs the per-sample (direct) encoder
+    gen = tuple(int(v) + 2 for v in q)
+    c = streambrick_encode(cfg, table, x, tile=tile, caps_override=gen)
+    from ingp_tpu.ops.brickgrid import brickgrid_encode
+    ref = brickgrid_encode(cfg, table, x, x_cm=True)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
