@@ -66,18 +66,20 @@ _KINDS = ("all-reduce", "all-gather", "reduce-scatter",
 def account(hlo_text):
     stats = defaultdict(lambda: [0, 0])
     for line in hlo_text.splitlines():
-        line = line.strip()
-        # result-shape = op-name(...) — the result type leads the line
+        # "%name = <result type> kind(operands...)". The result type of
+        # a tuple-shaped collective contains /*index=N*/ comments (with
+        # '=' inside), so locate the op application and take every
+        # typed shape BEFORE it as the result payload.
+        if " = " not in line:
+            continue
+        rest = line.strip().split(" = ", 1)[1]
         for kind in _KINDS:
-            # match op name at the assignment: "%x = <shape> kind("
-            if re.search(rf"= [^=]*\b{kind}(-start|-done)?\(", line):
-                if f"{kind}-done" in line:
-                    continue        # -start carries the shape
-                sb = shape_bytes(line.split("=", 1)[0] + " "
-                                 + line.split("=", 1)[1].split("(")[0])
-                stats[kind][0] += 1
-                stats[kind][1] += sb
-                break
+            m = re.search(rf"\b{kind}(-start)?\(", rest)
+            if m is None or f"{kind}-done" in rest:
+                continue            # -start carries the shape
+            stats[kind][0] += 1
+            stats[kind][1] += shape_bytes(rest[:m.start()])
+            break
     return stats
 
 
@@ -88,38 +90,76 @@ def main():
     assert len(jax.devices()) == N_DEV, jax.devices()
 
     # reuse the dryrun's sharded-step builder: real mesh, real
-    # shardings, the full train step (render + losses + adam + grid)
+    # shardings, the full train step (render + losses + adam + grid).
+    # The dryrun's TINY default config is degenerate for accounting:
+    # at 16 rays/device GSPMD all-gathers the batch and REPLICATES the
+    # whole step (no gradient all-reduce appears at all), so the bytes
+    # mean nothing. Lower a mid-size config instead — big enough that
+    # the partitioner keeps the data sharding, small enough to compile
+    # on CPU in seconds — then check the counted all-reduce bytes
+    # against the analytic DP cost (= one f32 gradient per parameter)
+    # and project that analytic cost to the production op-point.
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import __graft_entry__ as ge
 
-    lowered = ge.lower_multichip(N_DEV)
+    mid = dict(batch_size=256 * N_DEV, density_log2T=15, rgb_log2T=16,
+               density_L=8, rgb_L=8, capacity=32, samples_per_ray=16)
+    lowered = ge.lower_multichip(N_DEV, **mid)
     compiled = lowered.compile()
     hlo = compiled.as_text()
 
     stats = account(hlo)
     total_bytes = sum(b for _, b in stats.values())
     print(f"sharded train step on a {N_DEV}-device mesh "
-          f"(optimized HLO, {len(hlo.splitlines())} lines):")
+          f"(optimized HLO, {len(hlo.splitlines())} lines, mid config "
+          f"{mid['batch_size']} rays, T=2^{mid['density_log2T']}/"
+          f"2^{mid['rgb_log2T']}):")
     for kind, (cnt, byts) in sorted(stats.items()):
         print(f"  {kind:20s} x{cnt:3d}  {byts/1e6:10.2f} MB/step")
     if not stats:
         print("  (no collectives found — fully replicated step?)")
 
+    # analytic DP cost at THIS config: one all-reduce of every
+    # gradient leaf (params replicated, batch sharded). Grad dtype is
+    # f32 (master weights) regardless of bf16 table storage.
+    system, _ = ge._multichip_system(N_DEV, mid)
+    grad_bytes = sum(int(np.prod(x.shape)) * 4
+                     for x in jax.tree.leaves(system.params))
+    ar_bytes = stats.get("all-reduce", [0, 0])[1]
+    print(f"\n  analytic DP gradient payload {grad_bytes/1e6:.2f} MB; "
+          f"counted all-reduce {ar_bytes/1e6:.2f} MB "
+          f"({ar_bytes/grad_bytes:.0%} — a healthy step counts ~100%: "
+          f"XLA fuses the per-leaf pmeans into one tuple all-reduce; "
+          f"~0% means the partitioner replicated the step, the bug "
+          f"this probe exists to catch)")
+
     # v5e ICI: ~45 GB/s per direction per link, ring all-reduce moves
-    # 2(n-1)/n x payload; treat every collective as all-reduce-like
-    # (upper bound)
+    # 2(n-1)/n x payload over the wire
     ici_bw = 45e9
     n = N_DEV
-    wire = total_bytes * 2 * (n - 1) / n
-    t_comm = wire / ici_bw
+
+    def eff(payload, step_ms):
+        t_comm_ms = payload * 2 * (n - 1) / n / ici_bw * 1e3
+        return t_comm_ms, step_ms / (step_ms + t_comm_ms)
+
+    # production projection: the bench op-point's real param tree
+    # (flagship NGP: brick tables at 2^19/2^21), measured 248 ms/step
+    from ingp_tpu.models import NGPConfig, ngp_init
+    cfg = NGPConfig(scale=0.5, encoder="brick", table_dtype="bfloat16",
+                    compute_dtype="bfloat16")
+    shapes = jax.eval_shape(lambda k: ngp_init(k, cfg),
+                            jax.random.PRNGKey(0))
+    prod_bytes = sum(int(np.prod(x.shape)) * 4
+                     for x in jax.tree.leaves(shapes))
     step_ms = 248.0     # measured single-chip step at the bench op-point
-    eff = step_ms / (step_ms + t_comm * 1e3)
-    print(f"\n  payload {total_bytes/1e6:.2f} MB -> ring wire bytes "
-          f"{wire/1e6:.2f} MB -> {t_comm*1e3:.2f} ms/step on ICI")
-    print(f"  vs {step_ms:.0f} ms compute: predicted DP scaling "
-          f"efficiency >= {eff:.1%} (overlap ignored; real overlap "
-          f"raises it)")
+    t_comm, e = eff(prod_bytes, step_ms)
+    print(f"\n  production projection (bench op-point): gradient "
+          f"payload {prod_bytes/1e6:.0f} MB -> {t_comm:.1f} ms/step "
+          f"on ICI vs {step_ms:.0f} ms compute")
+    print(f"  predicted DP scaling efficiency {e:.1%} at n={n} "
+          f"(zero overlap assumed; overlapping the table-grad "
+          f"all-reduce with the backward raises it)")
     print("\nOK")
 
 

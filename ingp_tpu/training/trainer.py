@@ -223,13 +223,20 @@ class NeRFSystem:
         unit_exposure_rgb = getattr(self.train_dataset,
                                     "unit_exposure_rgb", None)
 
-        def step_fn(params, opt_state, bitfield, block_table, directions,
-                    poses, batch, step, key):
-            # per-step randomness derives ON DEVICE from a constant base
-            # key + the device-carried step counter: through the axon
-            # tunnel, a host-built PRNGKey and an int32 upload cost a
-            # dispatch round trip per step
-            key = jax.random.fold_in(key, step)
+        def fwd_bwd(params, bitfield, block_table, directions, poses,
+                    batch, noise, step, key):
+            """Loss/aux/grads on (a shard of) the ray batch.
+
+            Under the mesh this body runs INSIDE shard_map on the local
+            ray shard: every per-ray stage — march, compaction, stream
+            encode, composite — sees R/n rays and an R/n-scaled sample
+            budget, so each device genuinely does 1/n of the work.
+            (Relying on GSPMD propagation instead silently REPLICATED
+            the whole step: the sort-based compaction is a global op
+            over the sharded axis, so the partitioner all-gathered the
+            batch and every device computed all R rays — measured as a
+            ~1% gradient all-reduce footprint in the optimized HLO,
+            benchmarking/collective_accounting.py.)"""
 
             def loss_fn(p):
                 dirs = directions[batch["pix_idxs"]]
@@ -246,15 +253,7 @@ class NeRFSystem:
 
                 emb = p["embedding_a"][batch["img_idxs"]] \
                     if use_embed_a else None
-                k_noise, k_bg = jax.random.split(key)
-                # INGP_HOST_NOISE=1 A/B: host-sampled start jitter
-                # (the pre-round-3 scheme) vs the device fold_in
-                # derivation — isolates the 0.8 dB control shift the
-                # round-3 judge flagged (VERDICT r3 weak #2)
-                noise = batch.get("noise")
-                if noise is None:
-                    noise = jax.random.uniform(k_noise,
-                                               rays_o.shape[:1])
+                _, k_bg = jax.random.split(key)
                 bg = jax.random.uniform(k_bg, (3,)) if random_bg else None
                 gate = (step >= warmup).astype(jnp.float32)
 
@@ -306,6 +305,59 @@ class NeRFSystem:
 
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
+            return loss, aux, grads
+
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            # explicit-collective data parallelism: pmean of the
+            # per-shard gradients IS the DP all-reduce (replaces the
+            # reference's NCCL DDP hook, train.py:39,430-432); loss/aux
+            # pmean to replicated values so every process logs the
+            # global metrics. stream_runs takes pmax — the static cap
+            # calibration must cover the WORST shard's run counts.
+            def fwd_bwd_shard(params, bitfield, block_table, directions,
+                              poses, batch, noise, step, key):
+                loss, aux, grads = fwd_bwd(params, bitfield, block_table,
+                                           directions, poses, batch,
+                                           noise, step, key)
+                sr = aux.pop("stream_runs", None)
+                loss, aux, grads = jax.tree.map(
+                    lambda x: jax.lax.pmean(x, "data"),
+                    (loss, aux, grads))
+                if sr is not None:
+                    aux["stream_runs"] = jax.lax.pmax(sr, "data")
+                return loss, aux, grads
+
+            fwd_bwd_run = jax.shard_map(
+                fwd_bwd_shard, mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(), P("data"), P("data"),
+                          P(), P()),
+                out_specs=P(), check_vma=False)
+        else:
+            fwd_bwd_run = fwd_bwd
+
+        def step_fn(params, opt_state, bitfield, block_table, directions,
+                    poses, batch, step, key):
+            # per-step randomness derives ON DEVICE from a constant base
+            # key + the device-carried step counter: through the axon
+            # tunnel, a host-built PRNGKey and an int32 upload cost a
+            # dispatch round trip per step
+            key = jax.random.fold_in(key, step)
+            # INGP_HOST_NOISE=1 A/B: host-sampled start jitter (the
+            # pre-round-3 scheme) vs the device fold_in derivation —
+            # measured 2.7 dB BETTER than host noise (PERF_NOTES r5).
+            # Derived on the GLOBAL batch before the shard_map so the
+            # sharded step jitters rays identically to the single-chip
+            # step (k_noise mirrors the historical split(key)[0]).
+            noise = batch.get("noise")
+            if noise is None:
+                k_noise, _ = jax.random.split(key)
+                noise = jax.random.uniform(k_noise,
+                                           batch["pix_idxs"].shape)
+            loss, aux, grads = fwd_bwd_run(params, bitfield, block_table,
+                                           directions, poses, batch,
+                                           noise, step, key)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, step + 1, aux

@@ -45,7 +45,9 @@ h = SimpleNamespace(
     density_threshold=1e-2, depth_mono=False, normal_mono=False,
     normal_ref=False, optimize_ext=False, random_bg=False,
     render_semantic=False, chunk_size=2048, seed=0, ckpt_load=None,
-    compute_dtype="float32", capacity=32, march_iters=128,
+    # capacity == spr: non-binding budget, exact parity with the
+    # single-process reference (test_multiprocess._single_process_reference)
+    compute_dtype="float32", capacity=16, march_iters=128,
     samples_per_ray=16, grid_size=32, density_L=4, density_F=2,
     density_log2T=12, rgb_L=4, rgb_F=2, rgb_log2T=12)
 

@@ -37,8 +37,12 @@ def _single_process_reference():
         normal_epochs=0, steps_per_epoch=500, lr=1e-2,
         density_threshold=1e-2, depth_mono=False, normal_mono=False,
         normal_ref=False, optimize_ext=False, random_bg=False,
+        # non-binding sample budget (capacity == spr): the shard_map
+        # per-rank budgets keep exactly the global kept set, so the
+        # 2-process run must match this reference to float tolerance
+        # (see tests/test_parallel.py for the binding-budget contract)
         render_semantic=False, chunk_size=2048, seed=0, ckpt_load=None,
-        compute_dtype="float32", capacity=32, march_iters=128,
+        compute_dtype="float32", capacity=16, march_iters=128,
         samples_per_ray=16, grid_size=32, density_L=4, density_F=2,
         density_log2T=12, rgb_L=4, rgb_F=2, rgb_log2T=12)
     tr = SyntheticDataset(split="train", img_size=32, n_train=4)

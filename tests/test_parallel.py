@@ -39,50 +39,70 @@ def test_single_process_helpers():
     assert out["a"].shape == (16, 2)
 
 
-def test_data_parallel_training_equivalence():
-    # 3 training steps on an 8-device mesh == 3 steps on one device
-    # (same batches, same seeds): GSPMD sharding must not change math
-    import sys, os
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
+def _equiv_hp(capacity, spr):
     from types import SimpleNamespace
+    return SimpleNamespace(
+        dataset_name="synthetic", root_dir="", split="train",
+        downsample=1.0, scale=0.5, use_skybox=False,
+        use_exposure=False, embed_a=False, embed_a_len=4,
+        embed_msk=False, num_classes=4, batch_size=256,
+        ray_sampling_strategy="all_images", num_epochs=1,
+        normal_epochs=0, steps_per_epoch=500, lr=1e-2,
+        density_threshold=1e-2, depth_mono=False, normal_mono=False,
+        normal_ref=False, optimize_ext=False, random_bg=False,
+        render_semantic=False, chunk_size=2048, seed=0,
+        ckpt_load=None, compute_dtype="float32", capacity=capacity,
+        march_iters=128, samples_per_ray=spr, grid_size=32,
+        density_L=4, density_F=2, density_log2T=12, rgb_L=4,
+        rgb_F=2, rgb_log2T=12)
+
+
+def _run_equiv(capacity, spr, steps=3):
     from ingp_tpu.training.trainer import NeRFSystem
     from ingp_tpu.data.synthetic import SyntheticDataset
-
-    def hp():
-        return SimpleNamespace(
-            dataset_name="synthetic", root_dir="", split="train",
-            downsample=1.0, scale=0.5, use_skybox=False,
-            use_exposure=False, embed_a=False, embed_a_len=4,
-            embed_msk=False, num_classes=4, batch_size=256,
-            ray_sampling_strategy="all_images", num_epochs=1,
-            normal_epochs=0, steps_per_epoch=500, lr=1e-2,
-            density_threshold=1e-2, depth_mono=False, normal_mono=False,
-            normal_ref=False, optimize_ext=False, random_bg=False,
-            render_semantic=False, chunk_size=2048, seed=0,
-            ckpt_load=None, compute_dtype="float32", capacity=32,
-            march_iters=128, samples_per_ray=16, grid_size=32,
-            density_L=4, density_F=2, density_log2T=12, rgb_L=4,
-            rgb_F=2, rgb_log2T=12)
-
     tr = SyntheticDataset(split="train", img_size=32, n_train=4)
     te = SyntheticDataset(split="test", img_size=32, n_test=1)
-
-    losses = {}
-    params = {}
+    losses, params = {}, {}
     for name, mesh in (("single", None), ("dp8", make_mesh(8))):
-        system = NeRFSystem(hp(), tr, te, mesh=mesh)
+        system = NeRFSystem(_equiv_hp(capacity, spr), tr, te, mesh=mesh)
         rng = np.random.default_rng(0)
-        ls = []
-        for _ in range(3):
-            aux = system.training_step(tr.sample_batch(rng, 256))
-            ls.append(float(aux["loss"]))
-        losses[name] = ls
+        losses[name] = [
+            float(system.training_step(tr.sample_batch(rng, 256))["loss"])
+            for _ in range(steps)]
         params[name] = np.asarray(system.params["model"]["density_table"])
+    return losses, params
+
+
+def test_data_parallel_training_equivalence():
+    # The mesh step runs the per-ray pipeline inside shard_map: each
+    # device marches/compacts/encodes ONLY its R/n rays against an
+    # R/n-scaled sample budget, and the gradient pmean is the DP
+    # all-reduce. When the global sample budget does NOT bind
+    # (capacity == samples_per_ray: every marched sample is kept),
+    # the kept sets are identical shard-by-shard, so 3 sharded steps
+    # must reproduce 3 single-device steps to float tolerance.
+    losses, params = _run_equiv(capacity=16, spr=16)
     np.testing.assert_allclose(losses["single"], losses["dp8"],
                                rtol=1e-4)
     np.testing.assert_allclose(params["single"], params["dp8"],
                                rtol=1e-3, atol=1e-6)
+
+
+def test_data_parallel_binding_budget_close():
+    # With the budget BINDING (capacity > samples_per_ray), per-shard
+    # K/n budgets legitimately keep a slightly different sample set
+    # than one global K cut — that is the price of each device doing
+    # 1/n of the work (the reference's DDP pays the same: each rank
+    # samples its own rays, train.py:39). The LOSS trajectory must stay
+    # statistically equivalent (measured max |Δloss| ~ 4e-4 relative);
+    # individual table rows legitimately diverge by O(lr) — Adam
+    # normalizes each row's update, so rows touched by only one of the
+    # two kept sets move a full step apart — hence no elementwise
+    # param assertion here (the non-binding test above pins the math).
+    losses, params = _run_equiv(capacity=32, spr=16)
+    np.testing.assert_allclose(losses["single"], losses["dp8"],
+                               rtol=5e-3)
+    assert np.all(np.isfinite(params["dp8"]))
 
 
 def test_gradient_psum_equivalence():
@@ -123,7 +143,10 @@ def test_sharded_eval_matches_single_device():
             density_threshold=1e-2, depth_mono=False, normal_mono=False,
             normal_ref=False, optimize_ext=False, random_bg=False,
             render_semantic=False, chunk_size=512, seed=0,
-            ckpt_load=None, compute_dtype="float32", capacity=32,
+            # non-binding budget (capacity == spr): the shard_map train
+            # steps before the render match the single-device params
+            # exactly, isolating the EVAL path comparison
+            ckpt_load=None, compute_dtype="float32", capacity=16,
             march_iters=128, samples_per_ray=16, grid_size=32,
             density_L=4, density_F=2, density_log2T=12, rgb_L=4,
             rgb_F=2, rgb_log2T=12)

@@ -67,6 +67,49 @@ def test_frame_embedding_modes():
     np.testing.assert_allclose(mean_emb, table[two].mean(0), atol=1e-6)
 
 
+def test_ocean_wave_spectrum_and_synthesis():
+    """Ocean-wave playground parity (utility/test_dynamic.py): the
+    spectrum peaks at finite k, phases advance by omega(k)*t, and the
+    batched synthesis returns finite displacement fields whose t=0
+    frame matches a single-frame evaluation."""
+    import jax
+    import jax.numpy as jnp
+    from ingp_tpu.utility import ocean_wave as ow
+
+    res, size = 64, 100.0
+    spec = np.asarray(ow.init_spectrum(jnp.array([10.0, 10.0]),
+                                       resolution=res, size=size))
+    assert spec.shape == (res, res)
+    assert np.all(np.isfinite(spec)) and spec.max() > 0
+    # dispersion: omega grows like sqrt(g k) for small k
+    k = np.array([0.01, 1.0, 10.0])
+    np.testing.assert_allclose(np.asarray(ow.dispersion(k[:2])),
+                               np.sqrt(9.81 * k[:2] * (1 + (k[:2]/370)**2)),
+                               rtol=1e-6)
+
+    h0, h0_star, phase0 = ow.seed_field(jax.random.key(0), spec)
+    np.testing.assert_allclose(np.asarray(h0_star),
+                               np.asarray(h0)[::-1, ::-1])
+
+    times = jnp.array([0.0, 0.5, 1.0])
+    disp = np.asarray(ow.synthesize(h0, h0_star, phase0, times,
+                                    amplitude=1e4, resolution=res,
+                                    size=size))
+    assert disp.shape == (3, res, res, 3)
+    assert np.all(np.isfinite(disp))
+    # frames genuinely evolve in time
+    assert np.abs(disp[0] - disp[1]).max() > 0
+    # t=0 batch frame == the single-frame path
+    single = np.asarray(ow.synthesize(h0, h0_star, phase0,
+                                      jnp.array([0.0]), amplitude=1e4,
+                                      resolution=res, size=size))[0]
+    np.testing.assert_allclose(disp[0], single, atol=1e-5)
+    # phase evolution is mod-2pi
+    ph = np.asarray(ow.evolve_phase(phase0, 2.0, resolution=res,
+                                    size=size))
+    assert ph.min() >= 0 and ph.max() < 2 * np.pi + 1e-6
+
+
 def test_debug_store_roundtrip():
     """Reference global_var parity (models/global_var.py): init keys,
     set/get, and in-jit recording via jax.debug.callback."""
