@@ -5,8 +5,13 @@ The reference's only parallel strategy is data parallelism: replicated
 model, per-rank ray batches, NCCL all-reduce of gradients (SURVEY.md
 §2.3). TPU-native form: a 1-D ('data',) jax.sharding.Mesh; the ray batch
 is sharded on its leading axis, parameters and grid are replicated, and
-the jitted step keeps *global* semantics — XLA/GSPMD inserts the gradient
-psum over ICI where the loss mean crosses the sharded axis. Tensor/
+the per-ray pipeline runs inside jax.shard_map with an explicit
+gradient pmean over ICI (trainer.fwd_bwd_shard). Pure GSPMD
+propagation is NOT enough for this model: the sort-based ray
+compaction is a global op over the sharded axis, so the partitioner
+would all-gather the batch and replicate the whole step — caught by
+benchmarking/collective_accounting.py, which counts the all-reduce
+bytes in the optimized HLO against the analytic DP payload. Tensor/
 pipeline parallelism are deliberately absent: the whole model (hash
 tables + tiny MLPs) fits comfortably in one chip's HBM, so replication
 is the right layout; the scaling axis is rays.
@@ -40,8 +45,9 @@ def shard_batch(mesh: Mesh, batch):
 def shard_step(step_fn, mesh: Mesh):
     """Compile step_fn(params, opt_state, bitfield, block_table,
     directions, poses, batch, step, key) with the ray batch sharded over
-    ('data',) and everything else replicated. Gradient reduction is
-    inserted by XLA.
+    ('data',) and everything else replicated. step_fn itself carries the
+    shard_map + gradient pmean (trainer._build_step); these outer
+    shardings just place the operands so no resharding precedes it.
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))

@@ -198,6 +198,7 @@ class NeRFSystem:
 
         self.global_step = 0
         self._step_dev = None     # device step counter, lazily synced
+        self._test_render_cache = {}  # sharded test-render fns by shape
         self._base_key = jax.random.PRNGKey(
             getattr(hparams, "seed", 0) + 1)
         self._build_step()
@@ -491,6 +492,43 @@ class NeRFSystem:
                   f"{new}", flush=True)
 
     # ------------------------------------------------------------------
+    def _sharded_test_render(self, ro, rd, emb):
+        """Test render of one ray chunk with the rays sharded over the
+        ('data',) mesh via shard_map — each device runs march/prepass/
+        compaction/forward on its chunk/n rays (per-shard sample
+        budget). Per-ray outputs come back sharded; total_samples is
+        psum'd. The compiled fn is cached per (chunk, emb?) shape."""
+        key = (ro.shape[0], emb is not None)
+        fn = self._test_render_cache.get(key)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+            mcfg, rcfg = self.model_cfg, self.render_cfg_test
+            has_emb = emb is not None
+            has_bt = self._march_table() is not None
+
+            def body(p, bitfield, block_table, ro, rd, emb):
+                out = render_rays_test(
+                    mcfg, rcfg, p, bitfield, ro, rd,
+                    embedding_a=emb if has_emb else None,
+                    block_table=block_table if has_bt else None)
+                ts_ = jax.lax.psum(out.pop("total_samples"), "data")
+                return out, ts_
+
+            fn = jax.jit(jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(), P(), P(), P("data"), P("data"),
+                          P("data")),
+                out_specs=(P("data"), P()), check_vma=False))
+            self._test_render_cache[key] = fn
+        emb_arr = emb if emb is not None \
+            else jnp.zeros((ro.shape[0], 0), jnp.float32)
+        bt = self._march_table()
+        bt_arr = bt if bt is not None else jnp.zeros((0,), jnp.int32)
+        out, ts_ = fn(self.params["model"], self.grid["bitfield"],
+                      bt_arr, ro, rd, emb_arr)
+        out["total_samples"] = ts_
+        return out
+
     def render_image(self, pose, chunk_size=None, embedding=None):
         """Chunked whole-image test render (train.py:177-190).
 
@@ -532,20 +570,20 @@ class NeRFSystem:
             if emb is not None and pad:
                 emb = jnp.concatenate([emb, emb[-1:].repeat(pad, 0)])
             if n_dev > 1:
-                # shard the ray chunk over the mesh; GSPMD propagates
-                # the sharding through the jitted renderer (params/grid
-                # stay replicated)
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                data_sh = NamedSharding(self.mesh, P("data"))
-                ro, rd = (jax.device_put(ro, data_sh),
-                          jax.device_put(rd, data_sh))
-                if emb is not None:
-                    emb = jax.device_put(emb, data_sh)
-            res = render_rays_test(self.model_cfg, self.render_cfg_test,
-                                   self.params["model"],
-                                   self.grid["bitfield"], ro, rd,
-                                   embedding_a=emb,
-                                   block_table=self._march_table())
+                # per-shard test render (shard_map): each device runs
+                # the full two-phase pipeline on its R/n rays with an
+                # R/n-scaled sample budget — GSPMD propagation cannot
+                # shard this (the compaction is global over rays, so
+                # the partitioner would all-gather and replicate; see
+                # fwd_bwd and collective_accounting.py)
+                res = self._sharded_test_render(ro, rd, emb)
+            else:
+                res = render_rays_test(self.model_cfg,
+                                       self.render_cfg_test,
+                                       self.params["model"],
+                                       self.grid["bitfield"], ro, rd,
+                                       embedding_a=emb,
+                                       block_table=self._march_table())
             if pad:
                 res = {k: v[:-pad] if hasattr(v, "shape") and v.ndim >= 1
                        and v.shape[0] == chunk else v
