@@ -130,7 +130,7 @@ def clamp_near(hits_t):
 def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
                 bitfield, rays_o, rays_d, noise, embedding_a=None,
                 exposure=None, bg_color=None, skybox_gate=1.0,
-                block_table=None):
+                block_table=None, stats_gate=None):
     """Render a batch of rays end to end (one jitted graph).
 
     Args:
@@ -291,11 +291,24 @@ def render_rays(model_cfg: NGPConfig, render_cfg: RenderConfig, params,
         # collisions merge runs, so its counts upper-bound both tables)
         from ..ops.streambrick import run_count_quantiles
         from .ngp import _normalize_coords
-        results["stream_runs"] = run_count_quantiles(
-            model_cfg.rgb_brick_cfg,
-            jax.lax.stop_gradient(
-                _normalize_coords(model_cfg, xyz_cm)),
-            model_cfg.stream_tile)
+        u_cm = jax.lax.stop_gradient(_normalize_coords(model_cfg,
+                                                       xyz_cm))
+
+        def _measure(u):
+            return run_count_quantiles(model_cfg.rgb_brick_cfg, u,
+                                       model_cfg.stream_tile)
+
+        if stats_gate is None:
+            results["stream_runs"] = _measure(u_cm)
+        else:
+            # measuring every step costs ~18% wall (PERF_NOTES r5
+            # autocal pricing); the trainer only reads the value on
+            # its adoption cadence, so gate the whole measurement on
+            # that cadence — cond executes one branch on TPU
+            L = model_cfg.rgb_brick_cfg.n_levels
+            results["stream_runs"] = jax.lax.cond(
+                stats_gate, _measure,
+                lambda u: jnp.full((L,), -1, jnp.int32), u_cm)
 
     # background compositing (rendering.py:229-240) — caller ray order
     # (rays_d / skybox run in the caller's space)

@@ -258,11 +258,17 @@ class NeRFSystem:
                 bg = jax.random.uniform(k_bg, (3,)) if random_bg else None
                 gate = (step >= warmup).astype(jnp.float32)
 
+                # run-stat measurement only on the adoption cadence
+                # (training_step reads aux["stream_runs"] after the
+                # global_step increment, hence step + 1)
+                stats_gate = ((step + 1) % NeRFSystem.AUTOCAL_EVERY
+                              == 0) if render_cfg.run_stats else None
                 results = render_rays(
                     model_cfg, render_cfg, p["model"], bitfield,
                     rays_o, rays_d, noise, embedding_a=emb,
                     exposure=batch.get("exposure"), bg_color=bg,
-                    skybox_gate=gate, block_table=block_table)
+                    skybox_gate=gate, block_table=block_table,
+                    stats_gate=stats_gate)
 
                 if loss_cfg.lambda_sparsity > 0:
                     k_sp = jax.random.fold_in(key, 7)
@@ -475,8 +481,27 @@ class NeRFSystem:
         if self.global_step % self.AUTOCAL_EVERY != 0:
             return
         runs = np.asarray(runs_dev)
+        if np.any(runs < 0):
+            return  # gated-off sentinel (off-cadence read)
         aligned = ((runs + self.AUTOCAL_MARGIN + 7) // 8 * 8)
         target = np.minimum(aligned, self.model_cfg.stream_tile)
+        # NEVER adopt below the formula caps: an early measurement
+        # (warmup stream, pre-carving) can come in far under the
+        # formula floor, and running even ~16 steps with undersized
+        # caps mass-overflows cells into zero features. All those
+        # cells share ONE network input (zeros), so their fog
+        # supervision pumps the MLP bias — a global density shift that
+        # the occupancy-grid feedback then locks in (measured: -5.6 dB
+        # novel at 600 steps from exactly this seed-below-formula
+        # adoption; the same final caps applied statically from step 0
+        # gate at 26.18 — PERF_NOTES round-5 autocal bisection).
+        from ..ops.streambrick import stream_caps as _formula
+        floor = np.asarray(_formula(
+            self.model_cfg.rgb_brick_cfg, self.model_cfg.stream_tile,
+            slack=self.model_cfg.stream_slack,
+            seg_est=self.model_cfg.stream_seg))
+        target = np.minimum(np.maximum(target, floor),
+                            self.model_cfg.stream_tile)
         cur = self.model_cfg.stream_caps
         if cur is None:
             new = tuple(int(c) for c in target)

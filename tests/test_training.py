@@ -104,6 +104,48 @@ def test_training_with_brick_encoder():
     assert np.mean(psnrs[-8:]) > np.mean(psnrs[:4]) + 1.5
 
 
+def test_stream_autocal_floored_adoption():
+    """Cap auto-calibration: the gated run-stat measurement fires on
+    the adoption cadence, adopted caps floor at the FORMULA caps
+    (adopting the raw warmup measurement below the floor mass-overflows
+    cells into zero features and fog-locks training — the round-5
+    gate bisection, PERF_NOTES), stay monotone per level, and training
+    stays finite through the mid-run recompiles."""
+    from ingp_tpu.ops.streambrick import stream_caps as formula
+    system = make_system(encoder="brick", density_log2T=15,
+                         rgb_log2T=15, stream_dedup=True,
+                         stream_tile=128, stream_autocal=True)
+    assert system.render_cfg.run_stats
+    rng = np.random.default_rng(0)
+    seen = []
+    for i in range(2 * system.AUTOCAL_EVERY + 1):
+        aux = system.training_step(
+            system.train_dataset.sample_batch(rng, 512))
+        assert np.isfinite(float(aux["loss"]))
+        runs = np.asarray(aux["stream_runs"])
+        # off-cadence steps return the gated-off sentinel (-1);
+        # cadence steps return real measurements
+        if system.global_step % system.AUTOCAL_EVERY == 0:
+            assert np.all(runs >= 0), (i, runs)
+        else:
+            assert np.all(runs == -1), (i, runs)
+        if system.model_cfg.stream_caps is not None:
+            seen.append(system.model_cfg.stream_caps)
+    assert seen, "caps never adopted on the cadence"
+    floor = formula(system.model_cfg.rgb_brick_cfg,
+                    system.model_cfg.stream_tile,
+                    slack=system.model_cfg.stream_slack,
+                    seg_est=system.model_cfg.stream_seg)
+    tile = system.model_cfg.stream_tile
+    for caps in seen:
+        assert all(c >= min(f, tile) for c, f in zip(caps, floor)), \
+            (caps, floor)
+        assert all(c <= tile for c in caps)
+    # monotone growth across adoptions
+    for a, b in zip(seen, seen[1:]):
+        assert all(y >= x for x, y in zip(a, b))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     system = make_system()
     rng = np.random.default_rng(0)
