@@ -58,6 +58,44 @@ def main():
         def k(G_ref, uid_ref, lf_ref, sel_ref, E_ref, feats_ref, *jac_ref):
             mm_dt = G_ref.dtype
             TR, KS = uid_ref.shape
+            if mode.startswith("rowpair"):
+                # P rows per expand dot: block-diagonal one-hot
+                # (P*KS, P*U) x concat g (P*U, W) — P x the (cheap)
+                # MXU expand FLOPs for 1/P the serialized op count.
+                # Tests whether the ~10 ms kernel floor is per-op
+                # pipeline bubbles (7680 x ~1.3 us dots) or real work.
+                P = int(mode.split("-")[1])
+                # batch-dim dot: (P, KS, U) x (P, U, W) in ONE
+                # dot_general — tests whether Mosaic pipelines batched
+                # small dots better than P serialized ones (the
+                # block-diagonal lane formulation is rejected:
+                # "Input offsets outside of the first tile")
+                u_iota1 = jax.lax.broadcasted_iota(
+                    jnp.int32, (P, KS, U), 2)
+                pcoords = _point_coords()
+                for r0 in range(0, TR, P):
+                    uid_p = jnp.stack(
+                        [uid_ref[r0 + p] for p in range(P)])
+                    oh = (uid_p[:, :, None] == u_iota1).astype(mm_dt)
+                    g_cat = jnp.stack(
+                        [G_ref[r0 + p] for p in range(P)], axis=0)
+                    g_all = jax.lax.dot_general(
+                        oh, g_cat, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)  # (P,KS,W)
+                    for p in range(P):
+                        g = g_all[p]
+                        lf = lf_ref[:, r0 + p, :]
+                        w, d1, d2, d3 = _plane_weights(lf, pcoords, W, F)
+                        big = jnp.concatenate(
+                            [g * w, g * d1, g * d2, g * d3], axis=1)
+                        out = jax.lax.dot_general(
+                            sel_ref[...].astype(big.dtype), big,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        feats_ref[:, r0 + p, :] = out[0:F]
+                        jac_ref[0][:, r0 + p, :] = \
+                            out[F:] * lf[6][None, :]
+                return
             u_iota = jax.lax.broadcasted_iota(jnp.int32, (KS, U), 1)
             pcoords = _point_coords()
             for r in range(TR):
@@ -123,8 +161,11 @@ def main():
         return k
 
     key = jax.random.PRNGKey(0)
-    for mode in ("full", "no-planes", "no-expand", "no-dot",
-                 "bf16-planes", "factored-E"):
+    modes = ("full", "no-planes", "no-expand", "no-dot",
+             "bf16-planes", "factored-E")
+    if os.environ.get("PROBE_ROWPAIR", "0") == "1":
+        modes = ("full", "rowpair-2", "rowpair-4")
+    for mode in modes:
         total = 0.0
         for rows, U in GROUPS:
             g_u = jax.random.normal(key, (rows, U, W)).astype(jnp.bfloat16)
