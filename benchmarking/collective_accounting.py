@@ -160,6 +160,15 @@ def main():
     print(f"  predicted DP scaling efficiency {e:.1%} at n={n} "
           f"(zero overlap assumed; overlapping the table-grad "
           f"all-reduce with the backward raises it)")
+
+    # DP sweep: ring wire bytes saturate at 2x payload, so efficiency
+    # is nearly flat in n — DP scales to pod-slice sizes; multi-HOST
+    # hops ride the same formula until DCN replaces ICI
+    print("\n  n-sweep (same formula, ring all-reduce over ICI):")
+    for m in (2, 4, 8, 16, 64, 256):
+        t_m = prod_bytes * 2 * (m - 1) / m / ici_bw * 1e3
+        print(f"    n={m:3d}: comm {t_m:5.1f} ms -> efficiency "
+              f"{step_ms / (step_ms + t_m):.1%}")
     print("\nOK")
 
 
