@@ -105,6 +105,41 @@ def test_data_parallel_binding_budget_close():
     assert np.all(np.isfinite(params["dp8"]))
 
 
+def test_autocal_under_mesh_pmax():
+    # cap auto-calibration under data parallelism: stream_runs comes
+    # back pmax'd across shards (caps must cover the WORST shard), the
+    # gated-off sentinel (-1) survives the pmax on off-cadence steps,
+    # and adoption floors at the formula caps exactly like single-device
+    from types import SimpleNamespace
+    from ingp_tpu.training.trainer import NeRFSystem
+    from ingp_tpu.data.synthetic import SyntheticDataset
+
+    h = _equiv_hp(capacity=16, spr=16)
+    h.stream_dedup, h.stream_tile, h.stream_autocal = True, 128, True
+    h.density_log2T = h.rgb_log2T = 14
+    tr = SyntheticDataset(split="train", img_size=32, n_train=4)
+    te = SyntheticDataset(split="test", img_size=32, n_test=1)
+    system = NeRFSystem(h, tr, te, mesh=make_mesh(8))
+    rng = np.random.default_rng(0)
+    for i in range(system.AUTOCAL_EVERY + 1):
+        aux = system.training_step(tr.sample_batch(rng, 256))
+        runs = np.asarray(aux["stream_runs"])
+        if system.global_step % system.AUTOCAL_EVERY == 0:
+            assert np.all(runs >= 0)
+        else:
+            assert np.all(runs == -1)
+        assert np.isfinite(float(aux["loss"]))
+    assert system.model_cfg.stream_caps is not None
+    from ingp_tpu.ops.streambrick import stream_caps as formula
+    floor = formula(system.model_cfg.rgb_brick_cfg,
+                    system.model_cfg.stream_tile,
+                    slack=system.model_cfg.stream_slack,
+                    seg_est=system.model_cfg.stream_seg)
+    tile = system.model_cfg.stream_tile
+    assert all(c >= min(f, tile)
+               for c, f in zip(system.model_cfg.stream_caps, floor))
+
+
 def test_gradient_psum_equivalence():
     # data-parallel grad == single-device grad of the same global batch
     mesh = make_mesh(8)
