@@ -59,11 +59,12 @@ def main():
             mm_dt = G_ref.dtype
             TR, KS = uid_ref.shape
             if mode.startswith("rowpair"):
-                # P rows per expand dot: block-diagonal one-hot
-                # (P*KS, P*U) x concat g (P*U, W) — P x the (cheap)
-                # MXU expand FLOPs for 1/P the serialized op count.
-                # Tests whether the ~10 ms kernel floor is per-op
+                # P rows per expand via ONE batch-dim dot_general —
+                # tests whether the ~10 ms kernel floor is per-op
                 # pipeline bubbles (7680 x ~1.3 us dots) or real work.
+                # Measured: no win (Mosaic unrolls batch dims;
+                # rowpair-2 17.9 vs full 17.6 ms, rowpair-4 22.0 as
+                # the P x expand FLOPs take over).
                 P = int(mode.split("-")[1])
                 # batch-dim dot: (P, KS, U) x (P, U, W) in ONE
                 # dot_general — tests whether Mosaic pipelines batched

@@ -8,10 +8,14 @@ program with donated buffers; the occupancy-grid refresh every 16 steps
 is a second jitted program (train.py:271-275). The host loop only
 samples pixel indices (NumPy) and feeds fixed-shape batches.
 
-Data parallelism: with n_devices > 1 the step is compiled over a 1-D
-('data',) jax.sharding.Mesh — ray batch sharded, parameters replicated,
-gradient psum inserted by XLA (replaces PL's DDPPlugin/NCCL,
-train.py:39, 430-432). See parallel/.
+Data parallelism: with n_devices > 1 the per-ray pipeline runs inside
+jax.shard_map over a 1-D ('data',) jax.sharding.Mesh — ray batch
+sharded, parameters replicated, an explicit gradient pmean as the DP
+all-reduce (fwd_bwd_shard; replaces PL's DDPPlugin/NCCL, train.py:39,
+430-432). GSPMD propagation alone cannot shard this model: the
+sort-based ray compaction is global over the sharded axis, so the
+partitioner would all-gather the batch and silently replicate the
+whole step (benchmarking/collective_accounting.py). See parallel/.
 """
 from __future__ import annotations
 
@@ -32,7 +36,7 @@ from ..models.implicit_mask import mask_init, mask_apply
 from ..grid.occupancy import (grid_init, mark_invisible_cells,
                               update_density_grid)
 from .losses import LossConfig, compute_losses, total_loss
-from .metrics import psnr, ssim
+from .metrics import mse as mse_metric, psnr, ssim
 from ..utils.ckpt import (save_ckpt, load_ckpt, slim_state,
                           AsyncCkptManager)
 
@@ -224,6 +228,8 @@ class NeRFSystem:
         unit_exposure_rgb = getattr(self.train_dataset,
                                     "unit_exposure_rgb", None)
 
+        n_shards = self.mesh.size if self.mesh is not None else 1
+
         def fwd_bwd(params, bitfield, block_table, directions, poses,
                     batch, noise, step, key):
             """Loss/aux/grads on (a shard of) the ray batch.
@@ -275,6 +281,16 @@ class NeRFSystem:
                     pts = jax.random.uniform(
                         k_sp, (16384, 3), minval=-model_cfg.scale,
                         maxval=model_cfg.scale)
+                    if n_shards > 1 and 16384 % n_shards == 0:
+                        # each shard evaluates ITS slice of the SAME
+                        # point set (k_sp is replicated): the pmean of
+                        # per-shard means equals the single-device
+                        # mean over all 16384 points exactly, at 1/n
+                        # the density-MLP work per device
+                        per = 16384 // n_shards
+                        idx = jax.lax.axis_index("data")
+                        pts = jax.lax.dynamic_slice_in_dim(
+                            pts, idx * per, per, 0)
                     from ..models.ngp import ngp_sigma as _sig
                     results["sparsity"] = _sig(model_cfg, p["model"], pts)
 
@@ -300,7 +316,12 @@ class NeRFSystem:
                 loss = total_loss(loss_d)
                 aux = {
                     "loss": loss,
-                    "psnr": psnr(results["rgb"], batch["rgb"]),
+                    # raw MSE, not PSNR: the mesh path pmeans aux
+                    # across shards, and mean-of-logs != log-of-mean
+                    # (Jensen) — step_fn derives PSNR from the
+                    # (p)meaned MSE so dp-N logs the same train/psnr
+                    # a single chip would
+                    "mse": mse_metric(results["rgb"], batch["rgb"]),
                     "s_per_ray": results["total_samples"]
                     / batch["rgb"].shape[0],
                     "loss_terms": {k: jnp.mean(v)
@@ -365,6 +386,9 @@ class NeRFSystem:
             loss, aux, grads = fwd_bwd_run(params, bitfield, block_table,
                                            directions, poses, batch,
                                            noise, step, key)
+            # PSNR from the (pmean'd) MSE — the global-batch value on
+            # any mesh size (see the aux["mse"] note in loss_fn)
+            aux["psnr"] = -10.0 * jnp.log10(aux.pop("mse"))
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, step + 1, aux
@@ -512,6 +536,9 @@ class NeRFSystem:
         import dataclasses as _dc
         self.model_cfg = _dc.replace(self.model_cfg, stream_caps=new)
         self._build_step()          # recompiles on next call
+        # the sharded test renderers close over the OLD model_cfg —
+        # drop them so the next eval re-traces with the adopted caps
+        self._test_render_cache.clear()
         if jax.process_index() == 0:
             print(f"[autocal] step {self.global_step}: stream caps -> "
                   f"{new}", flush=True)
@@ -586,9 +613,17 @@ class NeRFSystem:
         for i in range(0, n, chunk):
             sl = slice(i, min(i + chunk, n))
             ro, rd = rays_o[sl], rays_d[sl]
-            pad = 0
-            if ro.shape[0] < chunk and i > 0:
-                pad = chunk - ro.shape[0]  # keep shapes static
+            # pad to a static block size: tail chunks pad up to the
+            # full chunk (one compiled shape for the whole loop); a
+            # single sub-chunk image pads to the next mesh multiple —
+            # shard_map, unlike the GSPMD path it replaced, hard
+            # requires the ray count divisible by the mesh size
+            if i > 0 or n > chunk:
+                blk = chunk
+            else:
+                blk = -(-ro.shape[0] // n_dev) * n_dev
+            pad = blk - ro.shape[0]
+            if pad:
                 ro = jnp.concatenate([ro, ro[-1:].repeat(pad, 0)])
                 rd = jnp.concatenate([rd, rd[-1:].repeat(pad, 0)])
             emb = emb_full[sl] if self.hparams.embed_a else None
@@ -611,7 +646,7 @@ class NeRFSystem:
                                        block_table=self._march_table())
             if pad:
                 res = {k: v[:-pad] if hasattr(v, "shape") and v.ndim >= 1
-                       and v.shape[0] == chunk else v
+                       and v.shape[0] == blk else v
                        for k, v in res.items()}
             outs.append(res)
         merged = {}

@@ -105,6 +105,33 @@ def test_data_parallel_binding_budget_close():
     assert np.all(np.isfinite(params["dp8"]))
 
 
+def test_sharded_render_odd_ray_count():
+    # shard_map requires the ray count divisible by the mesh size;
+    # render_image must pad a single sub-chunk image up to the next
+    # mesh multiple (regression: the first chunk was never padded and
+    # a 30x30 image crashed an 8-device render with a divisibility
+    # error)
+    from types import SimpleNamespace
+    from ingp_tpu.training.trainer import NeRFSystem
+    from ingp_tpu.data.synthetic import SyntheticDataset
+
+    h = _equiv_hp(capacity=16, spr=16)
+    h.chunk_size = 4096
+    # 30x30 rays = 900, not divisible by 8
+    tr = SyntheticDataset(split="train", img_size=30, n_train=2)
+    te = SyntheticDataset(split="test", img_size=30, n_test=1)
+    outs = {}
+    for name, mesh in (("single", None), ("dp8", make_mesh(8))):
+        system = NeRFSystem(h, tr, te, mesh=mesh)
+        rng = np.random.default_rng(0)
+        system.training_step(tr.sample_batch(rng, 256))
+        outs[name] = np.asarray(
+            system.render_image(te.test_item(0)["pose"])["rgb"])
+    assert outs["dp8"].shape[0] == 900
+    np.testing.assert_allclose(outs["dp8"], outs["single"],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_autocal_under_mesh_pmax():
     # cap auto-calibration under data parallelism: stream_runs comes
     # back pmax'd across shards (caps must cover the WORST shard), the
