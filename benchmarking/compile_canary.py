@@ -78,13 +78,26 @@ def main():
         density_threshold=1e-2, depth_mono=False, normal_mono=False,
         normal_ref=True, optimize_ext=False, random_bg=False,
         render_semantic=False, chunk_size=131072, seed=0, ckpt_load=None,
-        compute_dtype="bfloat16", capacity=48, march_iters=1024,
-        samples_per_ray=24, encoder="brick", table_dtype="bfloat16",
-        encode_remat=True, encode_chunk=196608,
-        stream_dedup=True, stream_tile=256,
+        # honor the SAME env overrides bench.py reads: the canary's
+        # job is to reproduce the bench's compile, and the printed
+        # flag diff must actually select the compiled path
+        compute_dtype="bfloat16",
+        capacity=int(os.environ.get("BENCH_CAPACITY", "48")),
+        march_iters=1024,
+        samples_per_ray=int(os.environ.get("BENCH_SPR", "24")),
+        encoder=os.environ.get("BENCH_ENCODER", "brick"),
+        table_dtype="bfloat16",
+        encode_remat=True,
+        encode_chunk=int(os.environ.get("BENCH_CHUNK", "196608")),
+        stream_dedup=os.environ.get("BENCH_STREAM", "1") == "1",
+        stream_tile=256,
         stream_seg=int(os.environ.get("BENCH_STREAM_SEG", "4")),
-        stream_slack=1.5, stream_direct_frac=0.7, stream_sort=True,
-        stream_seg_head=20, stream_head_frac=0.0,
+        stream_slack=float(os.environ.get("BENCH_STREAM_SLACK", "1.5")),
+        stream_direct_frac=float(os.environ.get("BENCH_DIRECT_FRAC",
+                                                "0.7")),
+        stream_sort=os.environ.get("BENCH_STREAM_SORT", "1") == "1",
+        stream_seg_head=int(os.environ.get("BENCH_SEG_HEAD", "20")),
+        stream_head_frac=float(os.environ.get("BENCH_HEAD_FRAC", "0.0")),
     )
     tr = SyntheticDataset(split="train", img_size=256, n_train=16)
     te = SyntheticDataset(split="test", img_size=256, n_test=1)

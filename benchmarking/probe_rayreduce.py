@@ -25,11 +25,13 @@ def main():
     L, F = dcfg.n_levels, dcfg.n_features
     K = L * SPR
     # per-level unique-run capacities at the historical rectangle-path
-    # op-point (run_caps formula, preserved inline after its deletion:
-    # U_l = min(spr, ceil(2.5 + 3 + 0.7 * 1.5 * scale_l*spr*dt/B)))
+    # op-point (run_caps formula at its DEFAULT slack 1.0, preserved
+    # inline after its deletion: U_l = min(spr, ceil(2.5 + 3 +
+    # 0.7 * scale_l*spr*dt/B)) — keep the 0.7 coefficient so kernel
+    # timings stay comparable to the historical PERF_NOTES numbers)
     dt = np.sqrt(3.0) / 1024
     caps = tuple(int(min(SPR, np.ceil(
-        5.5 + 1.05 * sc * SPR * dt / dcfg.brick_size)))
+        5.5 + 0.7 * sc * SPR * dt / dcfg.brick_size)))
         for sc in dcfg.scales)
     U = int(np.sum(caps))
     table = brickgrid_init(key, dcfg)

@@ -261,6 +261,14 @@ def _brick_encode(cfg: NGPConfig, bcfg, table, u, x_cm, stream):
     if _use_stream(cfg, stream):
         from ..ops.streambrick import streambrick_encode
         sh, hf = _head_class(cfg, stream)
+        # measured caps come from the RGB table's level schedule
+        # (rendering.run_stats); an encoder with a DIFFERENT level
+        # count (density_L != rgb_L) falls back to the formula caps —
+        # a per-level tuple of the wrong length would mis-split the
+        # dedup/direct boundary or fail the reshape at trace time
+        caps = cfg.stream_caps
+        if caps is not None and len(caps) != bcfg.n_levels:
+            caps = None
         return streambrick_encode(
             bcfg, table, u if x_cm else u.T, tile=cfg.stream_tile,
             chunk=cfg.encode_chunk, remat=cfg.encode_remat,
@@ -268,7 +276,7 @@ def _brick_encode(cfg: NGPConfig, bcfg, table, u, x_cm, stream):
             seg_est=cfg.stream_seg,
             direct_frac=cfg.stream_direct_frac,
             seg_head=sh, head_frac=hf,
-            caps_override=cfg.stream_caps)
+            caps_override=caps)
     return brickgrid_encode(bcfg, table, u, remat=cfg.encode_remat,
                             chunk=cfg.encode_chunk, storage_dtype=sd,
                             x_cm=x_cm)
@@ -348,6 +356,11 @@ def ngp_grad_cm(cfg: NGPConfig, params, x_cm, stream=False):
         if _use_stream(cfg, stream):
             from ..ops.streambrick import streambrick_encode_grad
             sh, hf = _head_class(cfg, stream)
+            # same level-count guard as _brick_encode: measured caps
+            # only apply to an encoder with rgb_L levels
+            caps = cfg.stream_caps
+            if caps is not None and len(caps) != bcfg.n_levels:
+                caps = None
             return streambrick_encode_grad(
                 bcfg, table, u, tile=cfg.stream_tile,
                 chunk=cfg.encode_chunk, remat=cfg.encode_remat,
@@ -355,7 +368,7 @@ def ngp_grad_cm(cfg: NGPConfig, params, x_cm, stream=False):
                 slack=cfg.stream_slack, seg_est=cfg.stream_seg,
                 direct_frac=cfg.stream_direct_frac,
                 seg_head=sh, head_frac=hf,
-                caps_override=cfg.stream_caps)
+                caps_override=caps)
         from ..ops.brickgrid import brickgrid_encode_grad
         return brickgrid_encode_grad(
             bcfg, table, u, remat=cfg.encode_remat,

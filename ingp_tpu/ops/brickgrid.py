@@ -216,36 +216,6 @@ def brick_coords(cfg: BrickGridConfig, xT):
     return rows, local, frac
 
 
-def _axis_factors(loc, fr):
-    """Per-axis trilerp factors over the 3 lattice positions of a B=2
-    brick: (a0, a1, a2) with a_i = weight of lattice coordinate i given
-    the cell's local coordinate loc in {0, 1} and fractional offset fr,
-    plus the d/dfr derivatives (d0, d1, d2). loc outside {0, 1} (the
-    -9 overflow marker) zeroes every factor — same contract as the
-    plane-weight build it replaces."""
-    loc = loc.astype(jnp.float32)
-    l0 = loc == 0.0
-    l1 = loc == 1.0
-    a0 = jnp.where(l0, 1.0 - fr, 0.0)
-    a1 = jnp.where(l0, fr, jnp.where(l1, 1.0 - fr, 0.0))
-    a2 = jnp.where(l1, fr, 0.0)
-    d0 = jnp.where(l0, -1.0, 0.0)
-    d1 = jnp.where(l0, 1.0, jnp.where(l1, -1.0, 0.0))
-    d2 = jnp.where(l1, 1.0, 0.0)
-    return (a0, a1, a2), (d0, d1, d2)
-
-
-def _sep_contract(g, ax, F, blk):
-    """One separable-trilerp contraction level: combine the 3
-    contiguous blk-lane blocks of g (M, >=3*blk) with per-row scalars
-    ax = (a0, a1, a2) -> (M, blk). The B=2 brick lattice lane layout
-    (lane q = (i*9 + j*3 + k)*F + f) makes each axis a contiguous
-    block slice: i-blocks are 9F lanes, j-blocks 3F, k-blocks F."""
-    return (ax[0][:, None] * g[:, :blk]
-            + ax[1][:, None] * g[:, blk:2 * blk]
-            + ax[2][:, None] * g[:, 2 * blk:3 * blk])
-
-
 def reduce_feats(cfg: BrickGridConfig, g, local, frac, N,
                  level_lo: int = 0, level_hi: int | None = None):
     """Trilerp-weight the gathered rows g (Lw*N, W) and reduce to
@@ -254,7 +224,7 @@ def reduce_feats(cfg: BrickGridConfig, g, local, frac, N,
     window; used by the stream-dedup encoder's level split).
 
     Formulation note (round-5 measured): the separable axis-by-axis
-    contraction (_sep_contract, 27F -> 9F -> 3F -> F) is 13% SLOWER
+    contraction (27F -> 9F -> 3F -> F block slices) is 13% SLOWER
     here in XLA — its (M, 72)/(M, 24) intermediates lane-pad to 128
     and materialize in HBM, while this plane-dot form fuses the whole
     weight build into the dot's operand read with zero intermediates.

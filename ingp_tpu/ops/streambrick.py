@@ -388,6 +388,10 @@ def run_count_quantiles(cfg: BrickGridConfig, u_cm, tile: int,
     rows, _, _ = brick_coords(cfg, u_cm.astype(jnp.float32))  # (L, N)
     L, N = rows.shape
     T = N // tile
+    if T == 0:
+        # stream shorter than one tile (tiny dryrun/test batches):
+        # nothing to measure — zeros adopt as the formula floor
+        return jnp.zeros((L,), jnp.int32)
     r3 = rows[:, :T * tile].reshape(L, T, tile)
     prev = jnp.concatenate([jnp.full((L, T, 1), -1, r3.dtype),
                             r3[:, :, :-1]], axis=2)

@@ -862,8 +862,16 @@ class NeRFSystem:
 
     # ------------------------------------------------------------------
     def state(self):
-        return {"params": self.params, "opt_state": self.opt_state,
-                "grid": self.grid, "step": self.global_step}
+        s = {"params": self.params, "opt_state": self.opt_state,
+             "grid": self.grid, "step": self.global_step}
+        if self.model_cfg.stream_caps is not None:
+            # adopted autocal caps ride the checkpoint: a preemption
+            # resume must not silently reset to formula caps and
+            # replay the adoption/recompile ratchet from one
+            # post-restore batch
+            s["stream_caps"] = np.asarray(self.model_cfg.stream_caps,
+                                          np.int32)
+        return s
 
     def _ckpt_state(self):
         """state() with every leaf serializable in THIS process
@@ -915,5 +923,13 @@ class NeRFSystem:
                 self.grid["block_table"] = build_block_table(
                     self.grid["bitfield"], self.model_cfg.grid_size,
                     self.model_cfg.cascades)
+        if state.get("stream_caps") is not None:
+            caps = tuple(int(c) for c in np.asarray(state["stream_caps"]))
+            if caps != self.model_cfg.stream_caps:
+                import dataclasses as _dc
+                self.model_cfg = _dc.replace(self.model_cfg,
+                                             stream_caps=caps)
+                self._build_step()
+                self._test_render_cache.clear()
         self.global_step = int(state.get("step", 0))
         self._step_dev = None     # re-sync from global_step on next step

@@ -71,7 +71,7 @@ class AsyncCkptManager:
             return self._mgr.restore(
                 step, args=ocp.args.PyTreeRestore(
                     item=target, restore_args=restore_args))
-        except (ValueError, KeyError, TypeError):
+        except (ValueError, KeyError, TypeError) as e:
             # The saved tree's structure differs from the live target
             # (older checkpoint, slim export without opt_state, grid
             # saved without block_table, ...). PyTreeRestore(item=...)
@@ -79,7 +79,15 @@ class AsyncCkptManager:
             # before the caller's tolerant prefix-filtered handling
             # (trainer.load_state) can run — fall back to the
             # untargeted restore and let the caller cope, as it did
-            # before targeted restores existed.
+            # before targeted restores existed. Say so loudly: when
+            # the targeted path failed for a NON-structural reason
+            # (topology-change sharding error), the untargeted restore
+            # returns save-time shardings and the downstream failure
+            # would otherwise hide this first error.
+            print(f"[ckpt] targeted restore of step {step} failed "
+                  f"({type(e).__name__}: {e}); falling back to "
+                  f"untargeted restore — leaves come back with "
+                  f"SAVE-time shardings", flush=True)
             return self._mgr.restore(step)
 
     def wait(self) -> None:

@@ -145,6 +145,17 @@ def test_stream_autocal_floored_adoption():
     for a, b in zip(seen, seen[1:]):
         assert all(y >= x for x, y in zip(a, b))
 
+    # adopted caps ride the checkpoint: a resume must not reset to
+    # formula caps and replay the adoption/recompile ratchet
+    st = system.state()
+    assert "stream_caps" in st
+    fresh = make_system(encoder="brick", density_log2T=15,
+                        rgb_log2T=15, stream_dedup=True,
+                        stream_tile=128, stream_autocal=True)
+    assert fresh.model_cfg.stream_caps is None
+    fresh.load_state(st)
+    assert fresh.model_cfg.stream_caps == system.model_cfg.stream_caps
+
 
 def test_checkpoint_roundtrip(tmp_path):
     system = make_system()
